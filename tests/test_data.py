@@ -1,0 +1,158 @@
+"""Data pipeline tests with a synthetic in-memory COCO fixture
+(SURVEY §4: "a fake in-memory COCO fixture -- the reference's dataset
+contract in §2.5 defines the schema")."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from yoloclip_tpu.data.coco import COCODataset
+from yoloclip_tpu.data.loader import DataLoader, collate
+from yoloclip_tpu.data.augment import (ColorJitter, Compose, HorizontalFlip,
+                                       RandomResizedCrop,
+                                       default_train_transforms)
+
+CLASSES = ['cat', 'dog', 'bird']
+
+
+@pytest.fixture(scope='module')
+def coco_dir(tmp_path_factory):
+    """Tiny synthetic COCO dataset: 6 images with random boxes."""
+    root = tmp_path_factory.mktemp('coco')
+    img_dir = root / 'images'
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    ann_id = 1
+    from PIL import Image
+    for i in range(6):
+        h, w = int(rng.randint(80, 200)), int(rng.randint(80, 200))
+        arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        name = f'img_{i}.png'
+        Image.fromarray(arr).save(img_dir / name)
+        images.append({'id': i, 'file_name': name, 'width': w, 'height': h})
+        for _ in range(int(rng.randint(1, 5))):
+            bw, bh = float(rng.uniform(10, w / 2)), float(rng.uniform(10, h / 2))
+            x, y = float(rng.uniform(0, w - bw)), float(rng.uniform(0, h - bh))
+            annotations.append({
+                'id': ann_id, 'image_id': i,
+                'category_id': int(rng.randint(1, 4)),
+                'bbox': [x, y, bw, bh], 'area': bw * bh, 'iscrowd': 0,
+            })
+            ann_id += 1
+    categories = [{'id': k + 1, 'name': n} for k, n in enumerate(CLASSES)]
+    anno = {'images': images, 'annotations': annotations,
+            'categories': categories}
+    anno_path = root / 'instances.json'
+    with open(anno_path, 'w') as f:
+        json.dump(anno, f)
+    return str(anno_path), str(img_dir)
+
+
+def test_dataset_item_contract(coco_dir):
+    anno, imgs = coco_dir
+    ds = COCODataset(anno, imgs, CLASSES, img_size=(320, 320), mode='val',
+                     max_objects=50)
+    assert len(ds) == 6
+    item = ds[0]
+    assert item['images'].shape == (320, 320, 3)
+    assert item['images'].dtype == np.float32
+    assert 0.0 <= item['images'].min() and item['images'].max() <= 1.0
+    assert item['boxes'].shape == (50, 4)
+    assert item['class_ids'].shape == (50,)
+    assert item['valid_mask'].shape == (50,)
+    n = int(item['valid_mask'].sum())
+    assert n >= 1
+    # valid boxes inside the letterboxed canvas
+    b = item['boxes'][:n]
+    assert (b[:, 2] > b[:, 0]).all() and (b[:, 3] > b[:, 1]).all()
+    assert b.max() <= 320
+    # prompts reference the classes present
+    assert all(p.startswith('a photo of a ') for p in item['text_prompts'])
+
+
+def test_dataset_letterbox_scaling(coco_dir):
+    anno, imgs = coco_dir
+    ds = COCODataset(anno, imgs, CLASSES, img_size=(320, 320), mode='val')
+    info = ds.image_infos[0]
+    item = ds[0]
+    ratio = min(320 / info['height'], 320 / info['width'])
+    # content occupies exactly the top-left scaled region
+    nh, nw = int(info['height'] * ratio), int(info['width'] * ratio)
+    img = item['images']
+    assert img[nh:, :, :].max() == 0.0 or nh == 320
+    assert img[:, nw:, :].max() == 0.0 or nw == 320
+
+
+def test_dataset_mosaic(coco_dir):
+    anno, imgs = coco_dir
+    ds = COCODataset(anno, imgs, CLASSES, img_size=(320, 320), mode='train',
+                     mosaic_prob=1.0, max_objects=50, seed=3)
+    item = ds[0]
+    assert item['image_id'] == -1          # mosaic marker (ref :428)
+    assert item['images'].shape == (320, 320, 3)
+    n = int(item['valid_mask'].sum())
+    b = item['boxes'][:n]
+    if n:
+        assert b.max() <= 320 and b.min() >= 0
+
+
+def test_collate_and_loader(coco_dir):
+    anno, imgs = coco_dir
+    ds = COCODataset(anno, imgs, CLASSES, img_size=(160, 160), mode='val',
+                     max_objects=20)
+    dl = DataLoader(ds, batch_size=2, shuffle=True, num_workers=2,
+                    drop_last=True, seed=1)
+    assert len(dl) == 3
+    batches = list(dl)
+    assert len(batches) == 3
+    b = batches[0]
+    assert b['images'].shape == (2, 160, 160, 3)
+    assert b['boxes'].shape == (2, 20, 4)
+    assert b['class_ids'].shape == (2, 20)
+    assert b['valid_mask'].shape == (2, 20)
+    assert isinstance(b['text_prompts'], list)
+    assert isinstance(b['text_prompts'][0], list)
+
+
+def test_loader_orders_deterministically(coco_dir):
+    anno, imgs = coco_dir
+    ds = COCODataset(anno, imgs, CLASSES, img_size=(160, 160), mode='val')
+    ids = [tuple(b['image_id'].tolist())
+           for b in DataLoader(ds, 2, shuffle=True, num_workers=0, seed=7)]
+    ids2 = [tuple(b['image_id'].tolist())
+            for b in DataLoader(ds, 2, shuffle=True, num_workers=3, seed=7)]
+    assert ids == ids2
+
+
+def test_hflip_boxes():
+    img = np.zeros((10, 20, 3), np.uint8)
+    img[:, :5] = 255
+    boxes = np.array([[0., 0., 5., 10.]], np.float32)
+    t = HorizontalFlip(p=1.0)
+    out, ob, _ = t(img, boxes, np.array([0]))
+    assert out[:, 15:].max() == 255 and out[:, :15].max() == 0
+    np.testing.assert_allclose(ob, [[15, 0, 20, 10]])
+
+
+def test_random_resized_crop_keeps_shapes():
+    rng = np.random.RandomState(0)
+    img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    boxes = np.array([[10., 10., 50., 50.]], np.float32)
+    t = RandomResizedCrop((64, 64), (0.8, 1.0), p=1.0)
+    out, ob, oc = t(img, boxes, np.array([1]))
+    assert out.shape == (64, 64, 3)
+    if len(ob):
+        assert (ob >= 0).all() and (ob <= 64).all()
+
+
+def test_default_transform_pipeline_runs():
+    rng = np.random.RandomState(0)
+    img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    boxes = np.array([[5., 5., 30., 30.]], np.float32)
+    t = default_train_transforms((64, 64), seed=0)
+    out, ob, oc = t(img, boxes, np.array([2]))
+    assert out.shape == (64, 64, 3)
+    assert out.dtype == np.uint8

@@ -1,0 +1,99 @@
+"""Parity tests for building blocks against torch (CPU) with shared weights.
+
+The reference is torch; these tests re-express its per-layer math in torch
+directly (not copied code) and assert our NHWC/flax blocks match numerically
+when loaded with identical weights.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as tF
+
+from yoloclip_tpu.models.layers import (ConvBlock, MultiHeadAttention,
+                                        adaptive_max_pool_2d, max_pool_same)
+
+RNG = np.random.RandomState(0)
+
+
+def torch_conv_bn_silu(x_nchw, w_oihw, bn_gamma, bn_beta, bn_mean, bn_var,
+                       stride=1, padding=1):
+    x = torch.from_numpy(x_nchw)
+    y = tF.conv2d(x, torch.from_numpy(w_oihw), stride=stride, padding=padding)
+    y = tF.batch_norm(y, torch.from_numpy(bn_mean), torch.from_numpy(bn_var),
+                      torch.from_numpy(bn_gamma), torch.from_numpy(bn_beta),
+                      training=False, eps=1e-5)
+    return tF.silu(y).numpy()
+
+
+@pytest.mark.parametrize('k,stride', [(3, 1), (3, 2), (1, 1)])
+def test_conv_block_matches_torch(k, stride):
+    cin, cout = 8, 16
+    x = RNG.randn(2, 20, 20, cin).astype(np.float32)
+    block = ConvBlock(cout, kernel_size=k, stride=stride)
+    variables = block.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    # Overwrite with random weights + nontrivial BN stats.
+    w_hwio = RNG.randn(k, k, cin, cout).astype(np.float32) * 0.1
+    gamma = RNG.rand(cout).astype(np.float32) + 0.5
+    beta = RNG.randn(cout).astype(np.float32) * 0.1
+    mean = RNG.randn(cout).astype(np.float32) * 0.1
+    var = RNG.rand(cout).astype(np.float32) + 0.5
+    variables = {
+        'params': {'conv': {'kernel': jnp.asarray(w_hwio)},
+                   'bn': {'scale': jnp.asarray(gamma),
+                          'bias': jnp.asarray(beta)}},
+        'batch_stats': {'bn': {'mean': jnp.asarray(mean),
+                               'var': jnp.asarray(var)}},
+    }
+    got = np.asarray(block.apply(variables, jnp.asarray(x)))
+
+    w_oihw = w_hwio.transpose(3, 2, 0, 1)
+    want = torch_conv_bn_silu(x.transpose(0, 3, 1, 2), w_oihw, gamma, beta,
+                              mean, var, stride=stride, padding=k // 2)
+    np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_max_pool_same_matches_torch():
+    x = RNG.randn(1, 13, 13, 4).astype(np.float32)
+    got = np.asarray(max_pool_same(jnp.asarray(x), 5))
+    want = tF.max_pool2d(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                         kernel_size=5, stride=1, padding=2).numpy()
+    np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1), atol=1e-6)
+
+
+@pytest.mark.parametrize('hw', [(80, 80), (20, 20), (13, 7)])
+def test_adaptive_max_pool_matches_torch(hw):
+    H, W = hw
+    x = RNG.randn(2, H, W, 6).astype(np.float32)
+    got = np.asarray(adaptive_max_pool_2d(jnp.asarray(x), (3, 3)))
+    want = tF.adaptive_max_pool2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), (3, 3)).numpy()
+    np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1), atol=1e-6)
+
+
+def test_multihead_attention_matches_torch():
+    E, H = 32, 4
+    mha_t = tnn.MultiheadAttention(E, H, batch_first=True)
+    q = RNG.randn(2, 5, E).astype(np.float32)
+    kv = RNG.randn(2, 9, E).astype(np.float32)
+    with torch.no_grad():
+        want, _ = mha_t(torch.from_numpy(q), torch.from_numpy(kv),
+                        torch.from_numpy(kv))
+    want = want.numpy()
+
+    mha_j = MultiHeadAttention(E, H)
+    variables = {'params': {
+        'in_proj_weight': jnp.asarray(mha_t.in_proj_weight.detach().numpy()),
+        'in_proj_bias': jnp.asarray(mha_t.in_proj_bias.detach().numpy()),
+        'out_proj_weight': jnp.asarray(
+            mha_t.out_proj.weight.detach().numpy()),
+        'out_proj_bias': jnp.asarray(mha_t.out_proj.bias.detach().numpy()),
+    }}
+    got = np.asarray(mha_j.apply(variables, jnp.asarray(q), jnp.asarray(kv),
+                                 jnp.asarray(kv)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,152 @@
+"""Tests for device-side preprocessing and fixed-shape NMS.
+
+NMS property tests per SURVEY §4: greedy order, IoU threshold semantics,
+equivalence with an independent numpy re-implementation of the reference
+algorithm (`inference/detector.py:225-256`).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from yoloclip_tpu.ops.boxes import (pairwise_iou, xywh2xyxy, xyxy2xywh)
+from yoloclip_tpu.ops.nms import nms_fixed, batched_nms
+from yoloclip_tpu.ops.preprocess import letterbox, rescale_boxes
+
+
+def numpy_greedy_nms(boxes, scores, iou_threshold):
+    """Independent re-derivation of greedy class-agnostic NMS."""
+    order = np.argsort(scores)[::-1]
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(i)
+        rest = order[1:]
+        x1 = np.maximum(boxes[i, 0], boxes[rest, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[rest, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[rest, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[rest, 3])
+        inter = np.maximum(0, x2 - x1) * np.maximum(0, y2 - y1)
+        area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        area_r = (boxes[rest, 2] - boxes[rest, 0]) * (boxes[rest, 3] - boxes[rest, 1])
+        iou = inter / (area_i + area_r - inter + 1e-7)
+        order = rest[iou <= iou_threshold]
+    return keep
+
+
+def random_boxes(n, seed, size=600):
+    rng = np.random.RandomState(seed)
+    xy = rng.rand(n, 2) * size
+    wh = rng.rand(n, 2) * 120 + 5
+    boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    return boxes, scores
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2])
+def test_nms_matches_numpy_greedy(seed):
+    boxes, scores = random_boxes(200, seed)
+    conf, iou_t = 0.25, 0.45
+    out = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores),
+                    conf_threshold=conf, iou_threshold=iou_t,
+                    topk=256, max_detections=200)
+    mask = scores > conf
+    idx = np.where(mask)[0]
+    want_keep = numpy_greedy_nms(boxes[idx], scores[idx], iou_t)
+    want_scores = scores[idx][want_keep]
+    n = int(out['count'])
+    assert n == len(want_keep)
+    got_scores = np.asarray(out['scores'])[:n]
+    np.testing.assert_allclose(np.sort(got_scores)[::-1], got_scores)
+    np.testing.assert_allclose(got_scores, want_scores, rtol=1e-6)
+    got_boxes = np.asarray(out['boxes'])[:n]
+    np.testing.assert_allclose(got_boxes, boxes[idx][want_keep], rtol=1e-6)
+
+
+def test_nms_conf_threshold_filters_everything():
+    boxes, scores = random_boxes(50, 3)
+    out = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores),
+                    conf_threshold=2.0, topk=64, max_detections=16)
+    assert int(out['count']) == 0
+    assert not bool(out['valid'].any())
+
+
+def test_nms_identical_boxes_suppressed_to_one():
+    box = np.array([[10, 10, 50, 50]], np.float32)
+    boxes = np.repeat(box, 10, axis=0)
+    scores = np.linspace(0.9, 0.5, 10).astype(np.float32)
+    out = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores),
+                    conf_threshold=0.25, iou_threshold=0.45,
+                    topk=16, max_detections=8)
+    assert int(out['count']) == 1
+    assert float(out['scores'][0]) == pytest.approx(0.9)
+
+
+def test_nms_class_agnostic():
+    # Overlapping boxes of DIFFERENT classes must still suppress each other
+    # (reference behavior, SURVEY bug #12 kept by contract).
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11]], np.float32)
+    scores = np.array([0.9, 0.8], np.float32)
+    cls = jnp.array([0, 1])
+    out = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores), 0.25, 0.45,
+                    topk=4, max_detections=4, class_ids=cls)
+    assert int(out['count']) == 1
+    assert int(out['class_ids'][0]) == 0
+
+
+def test_batched_nms_shapes():
+    boxes, scores = random_boxes(100, 4)
+    b = jnp.stack([jnp.asarray(boxes)] * 3)
+    s = jnp.stack([jnp.asarray(scores)] * 3)
+    c = jnp.zeros((3, 100), jnp.int32)
+    out = batched_nms(b, s, c, topk=128, max_detections=32)
+    assert out['boxes'].shape == (3, 32, 4)
+    assert out['scores'].shape == (3, 32)
+    assert out['count'].shape == (3,)
+    # identical inputs -> identical outputs
+    np.testing.assert_array_equal(np.asarray(out['count']),
+                                  [out['count'][0]] * 3)
+
+
+def test_letterbox_geometry():
+    # 300x400 image -> scale = min(640/300, 640/400) = 1.6
+    img = np.full((300, 400, 3), 255, np.uint8)
+    canvas, scale = letterbox(jnp.asarray(img), (640, 640))
+    assert canvas.shape == (640, 640, 3)
+    assert float(scale) == pytest.approx(1.6)
+    c = np.asarray(canvas)
+    # top-left region filled, bottom strip black (480 = 300*1.6)
+    assert c[:480, :, :].min() > 0.99
+    assert c[480:, :, :].max() == 0.0
+
+
+def test_letterbox_preserves_content_scale():
+    rng = np.random.RandomState(0)
+    img = (rng.rand(320, 320, 3) * 255).astype(np.uint8)
+    canvas, scale = letterbox(jnp.asarray(img), (640, 640))
+    assert float(scale) == pytest.approx(2.0)
+    # nearest-equivalent check at even coordinates (bilinear at exact 2x
+    # upsampling with half-pixel centers interpolates, so just check range)
+    c = np.asarray(canvas)
+    assert 0.0 <= c.min() and c.max() <= 1.0
+
+
+def test_rescale_boxes_clip():
+    boxes = jnp.asarray([[0., 0., 640., 640.], [-10., -10., 5000., 5000.]])
+    out = np.asarray(rescale_boxes(boxes, jnp.float32(1.6), (300, 400)))
+    np.testing.assert_allclose(out[0], [0, 0, 400, 300])
+    np.testing.assert_allclose(out[1], [0, 0, 400, 300])
+
+
+def test_box_format_roundtrip():
+    rng = np.random.RandomState(5)
+    xywh = jnp.asarray(rng.rand(17, 4) * 100 + 1)
+    back = xyxy2xywh(xywh2xyxy(xywh))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xywh), rtol=1e-5)
+
+
+def test_pairwise_iou_known_values():
+    a = jnp.asarray([[0., 0., 10., 10.]])
+    b = jnp.asarray([[0., 0., 10., 10.], [5., 5., 15., 15.], [20., 20., 30., 30.]])
+    iou = np.asarray(pairwise_iou(a, b))[0]
+    np.testing.assert_allclose(iou, [1.0, 25 / 175, 0.0], rtol=1e-4)

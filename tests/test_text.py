@@ -1,0 +1,171 @@
+"""Tests for the tokenizer, CLIP text tower, and vocabulary builder."""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yoloclip_tpu.text.tokenizer import (CLIPTokenizer, bytes_to_unicode,
+                                         CONTEXT_LENGTH)
+from yoloclip_tpu.text.model import (CLIPTextTransformer,
+                                     convert_openai_state_dict)
+from yoloclip_tpu.text.encoder import CLIPTextEncoder
+from yoloclip_tpu.text.vocab import VocabularyBuilder, DEFAULT_TEMPLATES
+
+
+def test_bytes_to_unicode_reversible():
+    m = bytes_to_unicode()
+    assert len(m) == 256
+    assert len(set(m.values())) == 256
+
+
+def test_tokenizer_vocab_layout():
+    tok = CLIPTokenizer(merges=[])
+    assert tok.sot == 49406
+    assert tok.eot == 49407
+    # First 256 entries are byte symbols, next 256 word-final variants.
+    assert tok.encoder['!'] == 0
+    assert tok.encoder['!</w>'] == 256
+
+
+def test_tokenizer_roundtrip_no_merges():
+    tok = CLIPTokenizer(merges=[])
+    ids = tok.encode('a photo of a cat')
+    assert all(0 <= i < 49408 for i in ids)
+    assert tok.decode(ids).strip() == 'a photo of a cat'
+
+
+def test_tokenizer_merges_change_segmentation():
+    # With merges 'c a' -> 'ca' and 'ca t</w>' -> 'cat</w>' the word 'cat'
+    # becomes a single token.
+    merges = [('c', 'a'), ('ca', 't</w>')]
+    tok = CLIPTokenizer(merges=merges)
+    ids = tok.encode('cat')
+    assert len(ids) == 1
+    assert tok.decoder[ids[0]] == 'cat</w>'
+    assert tok.decode(ids).strip() == 'cat'
+
+
+def test_tokenize_framing_and_padding():
+    tok = CLIPTokenizer(merges=[])
+    arr = tok.tokenize(['hi', 'a longer prompt here'])
+    assert arr.shape == (2, CONTEXT_LENGTH)
+    assert arr[0, 0] == tok.sot
+    row = arr[0]
+    eot_pos = int(np.argmax(row))  # eot is the max id
+    assert row[eot_pos] == tok.eot
+    assert (row[eot_pos + 1:] == 0).all()
+
+
+def test_tokenize_truncation():
+    tok = CLIPTokenizer(merges=[])
+    long = 'word ' * 100
+    arr = tok.tokenize([long])
+    assert arr.shape == (1, CONTEXT_LENGTH)
+    assert arr[0, -1] == tok.eot
+
+
+@pytest.fixture(scope='module')
+def tiny_tower():
+    return CLIPTextTransformer(vocab_size=100, context_length=16, width=32,
+                               layers=2, heads=4, output_dim=24)
+
+
+def test_text_tower_shapes(tiny_tower):
+    tokens = jnp.asarray(np.random.RandomState(0).randint(1, 99, (3, 16)))
+    params = tiny_tower.init(jax.random.PRNGKey(0), tokens)['params']
+    out = tiny_tower.apply({'params': params}, tokens)
+    assert out.shape == (3, 24)
+
+
+def test_text_tower_causality(tiny_tower):
+    """Changing tokens AFTER the EOT/readout position must not change the
+    output (causal mask)."""
+    rng = np.random.RandomState(1)
+    base = rng.randint(1, 50, (1, 16)).astype(np.int32)
+    base[0, 5] = 99   # readout position: highest id
+    params = tiny_tower.init(jax.random.PRNGKey(0), jnp.asarray(base))['params']
+    out1 = tiny_tower.apply({'params': params}, jnp.asarray(base))
+    mod = base.copy()
+    mod[0, 10] = 7    # later position, lower id -> readout unchanged
+    out2 = tiny_tower.apply({'params': params}, jnp.asarray(mod))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+def test_convert_openai_state_dict_roundtrip(tiny_tower):
+    """A synthetic torch-layout state dict converts to a tree the module
+    accepts and whose values flow through."""
+    import torch
+    W, L = 32, 2
+    sd = {
+        'token_embedding.weight': torch.randn(100, W),
+        'positional_embedding': torch.randn(16, W),
+        'text_projection': torch.randn(W, 24),
+        'ln_final.weight': torch.ones(W),
+        'ln_final.bias': torch.zeros(W),
+    }
+    for i in range(L):
+        p = f'transformer.resblocks.{i}.'
+        sd.update({
+            p + 'ln_1.weight': torch.ones(W), p + 'ln_1.bias': torch.zeros(W),
+            p + 'ln_2.weight': torch.ones(W), p + 'ln_2.bias': torch.zeros(W),
+            p + 'attn.in_proj_weight': torch.randn(3 * W, W) * 0.02,
+            p + 'attn.in_proj_bias': torch.zeros(3 * W),
+            p + 'attn.out_proj.weight': torch.randn(W, W) * 0.02,
+            p + 'attn.out_proj.bias': torch.zeros(W),
+            p + 'mlp.c_fc.weight': torch.randn(4 * W, W) * 0.02,
+            p + 'mlp.c_fc.bias': torch.zeros(4 * W),
+            p + 'mlp.c_proj.weight': torch.randn(W, 4 * W) * 0.02,
+            p + 'mlp.c_proj.bias': torch.zeros(W),
+        })
+    params = convert_openai_state_dict(sd, layers=L)
+    tokens = jnp.asarray(np.random.RandomState(0).randint(1, 99, (2, 16)))
+    out = tiny_tower.apply({'params': params}, tokens)
+    assert out.shape == (2, 24)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.fixture(scope='module')
+def encoder():
+    return CLIPTextEncoder()
+
+
+def test_encoder_normalized_and_cached(encoder):
+    out = np.asarray(encoder(['a cat', 'a dog']))
+    assert out.shape == (2, 512)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, rtol=1e-5)
+    # Cache: same prompt twice -> identical row, no re-encode
+    out2 = np.asarray(encoder(['a cat']))
+    np.testing.assert_array_equal(out2[0], out[0])
+
+
+def test_encoder_nested_prompt_lists(encoder):
+    flat = np.asarray(encoder(['a cat', 'a dog']))
+    nested = np.asarray(encoder([['a cat', 'a dog'], ['a cat']]))
+    assert nested.shape == (2, 512)
+    np.testing.assert_allclose(nested[0], flat.mean(0), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(nested[1], flat[0], rtol=1e-5, atol=1e-6)
+
+
+def test_vocab_builder_matrix_and_json(encoder, tmp_path):
+    vb = VocabularyBuilder(encoder)
+    assert len(vb.prompt_templates) == 5
+    names = ['cat', 'dog', 'car']
+    mat = np.asarray(vb.build_online_vocabulary(names))
+    assert mat.shape == (3, 512)
+    np.testing.assert_allclose(np.linalg.norm(mat, axis=-1), 1.0, rtol=1e-5)
+
+    path = str(tmp_path / 'vocab.json')
+    vb.build_offline_vocabulary(names, path)
+    with open(path) as f:
+        data = json.load(f)
+    assert set(data) == set(names)
+    assert len(data['cat']) == 512
+
+    vb2 = VocabularyBuilder(encoder)
+    vocab = vb2.load_offline_vocabulary(path)
+    np.testing.assert_allclose(vocab['cat'], mat[0], rtol=1e-6)
+    mat2 = np.asarray(vb2.get_vocabulary_matrix(['dog', 'cat']))
+    np.testing.assert_allclose(mat2[0], mat[1], rtol=1e-6)

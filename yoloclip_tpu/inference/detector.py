@@ -1,0 +1,227 @@
+"""Inference runtime: end-to-end jitted detection pipeline.
+
+API parity with
+`/root/reference/yolo_clip_detector/inference/detector.py:14-397`
+(`detect`, `preprocess_image`, `postprocess_detections`, `draw_detections`,
+same detection-dict output schema and thresholds), redesigned TPU-first:
+
+  * Reference pipeline: host letterbox (cv2) -> upload -> torch forward ->
+    download -> numpy conf-filter/rescale/NMS. Two host<->device boundaries
+    per frame plus an O(n^2) Python NMS loop.
+  * This pipeline: ONE jitted XLA program per input resolution --
+    device-side letterbox, model forward, similarity, DFL decode, rescale +
+    clip, fixed-shape top-k + greedy-suppression NMS -- and a single small
+    download of the final (max_detections,) arrays.
+  * Vocabulary is encoded once (offline mode) or cached per prompt string
+    (online mode); swapping vocabularies of the same size never retraces.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from typing import Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yoloclip_tpu.config import InferenceConfig, ModelConfig
+from yoloclip_tpu.models.yolo_clip import YOLOCLIP
+from yoloclip_tpu.ops.nms import nms_fixed
+from yoloclip_tpu.ops.preprocess import letterbox, rescale_boxes
+from yoloclip_tpu.text.encoder import CLIPTextEncoder
+from yoloclip_tpu.text.vocab import VocabularyBuilder
+from yoloclip_tpu.utils.checkpoint import load_checkpoint
+
+logger = logging.getLogger(__name__)
+
+
+class YOLOCLIPDetector:
+    def __init__(self,
+                 model_path: Optional[str] = None,
+                 class_names: Optional[Sequence[str]] = None,
+                 vocab_path: Optional[str] = None,
+                 config: Optional[InferenceConfig] = None,
+                 text_checkpoint: Optional[str] = None,
+                 variables=None,
+                 seed: int = 0):
+        cfg = config or InferenceConfig()
+        if class_names is not None:
+            cfg = type(cfg)(**{**cfg.__dict__,
+                               'class_names': tuple(class_names)})
+        self.config = cfg
+        self.model_cfg: ModelConfig = cfg.model
+        self.class_names = list(cfg.class_names)
+        self.conf_threshold = cfg.conf_threshold
+        self.iou_threshold = cfg.iou_threshold
+        self.image_size = self.model_cfg.image_size
+
+        self.model = YOLOCLIP(self.model_cfg)
+        self.text_encoder = CLIPTextEncoder(
+            self.model_cfg.clip_model, self.model_cfg.embed_dim,
+            checkpoint_path=text_checkpoint, dtype=self.model_cfg.dtype)
+        self.vocab_builder = VocabularyBuilder(self.text_encoder)
+
+        if variables is not None:
+            self.variables = variables
+        elif model_path is not None:
+            self.variables = load_checkpoint(model_path)['variables']
+        else:
+            logger.warning('No checkpoint given: random-init weights '
+                           '(shape/latency bring-up mode)')
+            dummy_img = jnp.zeros((1,) + self.image_size + (3,))
+            dummy_txt = jnp.zeros((len(self.class_names) or 80,
+                                   self.model_cfg.embed_dim))
+            self.variables = self.model.init(
+                jax.random.PRNGKey(seed), dummy_img, dummy_txt)
+
+        # Offline vocabulary (encode once, reuse forever).
+        # Ref fallback semantics `detector.py:93-98` / SURVEY quirk #9.
+        self.offline_vocabulary: Optional[jax.Array] = None
+        self.use_offline_vocab = False
+        if vocab_path is not None:
+            self.load_offline_vocabulary(vocab_path)
+        elif class_names is not None or cfg.use_offline_vocab:
+            self.set_offline_vocabulary(self.class_names)
+
+        self._detect_fn = self._build_detect_fn()
+
+    # ------------------------------------------------------------------
+    # vocabulary management (ref `model/yolo_clip.py:225-263`)
+    # ------------------------------------------------------------------
+    def set_offline_vocabulary(self, class_names: Sequence[str],
+                               save_path: Optional[str] = None) -> None:
+        self.class_names = list(class_names)
+        self.offline_vocabulary = self.vocab_builder.build_online_vocabulary(
+            class_names)
+        if save_path is not None:
+            self.vocab_builder.build_offline_vocabulary(class_names, save_path)
+        self.use_offline_vocab = True
+
+    def load_offline_vocabulary(self, path: str) -> None:
+        vocab = self.vocab_builder.load_offline_vocabulary(path)
+        self.class_names = list(vocab.keys())
+        self.offline_vocabulary = jnp.asarray(
+            np.stack([vocab[k] for k in self.class_names]))
+        self.use_offline_vocab = True
+
+    # ------------------------------------------------------------------
+    # jitted pipeline
+    # ------------------------------------------------------------------
+    def _build_detect_fn(self):
+        model = self.model
+        target_hw = self.image_size
+        topk = self.config.nms_topk
+        max_det = self.config.max_detections
+
+        @functools.partial(jax.jit, static_argnames=('orig_hw',))
+        def run(variables, image, text_embeddings, orig_hw,
+                conf_threshold, iou_threshold):
+            canvas, scale = letterbox(image, target_hw)
+            out = model.apply(variables, canvas[None], text_embeddings)
+            boxes = rescale_boxes(out['boxes'][0], scale, orig_hw)
+            return nms_fixed(boxes, out['scores'][0], conf_threshold,
+                             iou_threshold, topk=topk,
+                             max_detections=max_det,
+                             class_ids=out['class_ids'][0])
+
+        return run
+
+    def preprocess_image(self, image: Union[str, np.ndarray]):
+        """Host-side load only; resize/normalize happen on device.
+
+        Returns (device_uint8_hwc, orig_image, scale) mirroring the
+        reference signature (`detector.py:119-161`).
+        """
+        if isinstance(image, str):
+            image = _imread_rgb(image)
+        orig = image
+        h, w = image.shape[:2]
+        th, tw = self.image_size
+        scale = min(th / h, tw / w)
+        return jnp.asarray(image), orig, scale
+
+    def detect(self, image: Union[str, np.ndarray],
+               text_prompts: Optional[Sequence[str]] = None) -> List[Dict]:
+        """Detect objects; returns the reference's detection-dict list
+        (box int xyxy, score, class_id, class_name). Ref `detector.py:289-325`."""
+        start = time.time()
+        img, orig, _ = self.preprocess_image(image)
+        orig_hw = orig.shape[:2]
+
+        if self.use_offline_vocab and text_prompts is None:
+            text = self.offline_vocabulary
+            names = self.class_names
+        else:
+            if text_prompts is None:
+                raise ValueError('Text prompts must be provided in online mode')
+            text = self.text_encoder(list(text_prompts))
+            names = list(text_prompts)
+
+        out = self._detect_fn(self.variables, img, text, tuple(orig_hw),
+                              jnp.float32(self.conf_threshold),
+                              jnp.float32(self.iou_threshold))
+        n = int(out['count'])
+        boxes = np.asarray(out['boxes'])[:n]
+        scores = np.asarray(out['scores'])[:n]
+        class_ids = np.asarray(out['class_ids'])[:n]
+
+        detections = []
+        for i in range(n):
+            cid = int(class_ids[i])
+            detections.append({
+                'box': boxes[i].astype(int).tolist(),
+                'score': float(scores[i]),
+                'class_id': cid,
+                'class_name': names[cid] if 0 <= cid < len(names)
+                else f'Class {cid}',
+            })
+        logger.info('Detection completed in %.3f seconds with %d objects',
+                    time.time() - start, len(detections))
+        return detections
+
+    def detect_batch(self, images: np.ndarray,
+                     text_prompts: Optional[Sequence[str]] = None):
+        """Batched same-size detection (B, H, W, 3) -> batched NMS dict.
+
+        No reference equivalent (single-image only there); this is the
+        throughput path for BASELINE config 2/5.
+        """
+        from yoloclip_tpu.ops.nms import batched_nms
+        from yoloclip_tpu.ops.preprocess import letterbox_batch
+
+        if self.use_offline_vocab and text_prompts is None:
+            text = self.offline_vocabulary
+        else:
+            text = self.text_encoder(list(text_prompts))
+
+        canvases, scale = letterbox_batch(jnp.asarray(images),
+                                          self.image_size)
+        out = self.model.apply(self.variables, canvases, text)
+        h, w = images.shape[1:3]
+        boxes = rescale_boxes(out['boxes'], scale, (h, w))
+        return batched_nms(boxes, out['scores'], out['class_ids'],
+                           self.conf_threshold, self.iou_threshold,
+                           topk=self.config.nms_topk,
+                           max_detections=self.config.max_detections)
+
+    def draw_detections(self, image: Union[str, np.ndarray],
+                        detections: List[Dict]) -> np.ndarray:
+        from yoloclip_tpu.utils.visualize import draw_detections
+        if isinstance(image, str):
+            image = _imread_rgb(image)
+        return draw_detections(image, detections, len(self.class_names) or 80)
+
+
+def _imread_rgb(path: str) -> np.ndarray:
+    try:
+        import cv2
+        img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(path)
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    except ImportError:
+        from PIL import Image
+        return np.asarray(Image.open(path).convert('RGB'))

@@ -1,0 +1,196 @@
+"""Shared building blocks, NHWC / flax.linen.
+
+Behavioral contracts come from the reference (cited per class); the
+implementation is TPU-idiomatic: NHWC layout so XLA tiles convs onto the MXU,
+compute dtype configurable (bf16 on TPU), BatchNorm with torch-compatible
+statistics (eps=1e-5, running-stat momentum equivalent to torch's 0.1).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class ConvBlock(nn.Module):
+    """Conv(bias=False) + BatchNorm + SiLU.
+
+    Ref: `/root/reference/yolo_clip_detector/model/backbones/yolov8.py:9-29`
+    (same block re-declared in repvl_pan.py / heads). padding = k // 2.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        p = self.kernel_size // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name='conv',
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,        # torch BatchNorm2d momentum=0.1 equivalent
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name='bn',
+        )(x)
+        return nn.silu(x)
+
+
+class DarkBottleneck(nn.Module):
+    """1x1 squeeze -> 3x3 expand, optional residual.
+
+    Ref: `yolov8.py:32-44` (and identical copy `repvl_pan.py:104-116`).
+    Residual only when in_channels == out_channels and shortcut=True.
+    """
+
+    features: int
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        y = ConvBlock(self.features // 2, 1, dtype=self.dtype, name='cv1')(x, train)
+        y = ConvBlock(self.features, 3, dtype=self.dtype, name='cv2')(y, train)
+        if self.shortcut and x.shape[-1] == self.features:
+            return x + y
+        return y
+
+
+class CSPLayer(nn.Module):
+    """Cross Stage Partial layer. Ref: `yolov8.py:47-69`.
+
+    y1 = bottlenecks(cv1(x)); y2 = cv2(x); out = cv3(concat(y1, y2)).
+    """
+
+    features: int
+    n_bottlenecks: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = self.features // 2
+        y1 = ConvBlock(c_, 1, dtype=self.dtype, name='cv1')(x, train)
+        for i in range(self.n_bottlenecks):
+            y1 = DarkBottleneck(c_, True, dtype=self.dtype,
+                                name=f'bottlenecks_{i}')(y1, train)
+        y2 = ConvBlock(c_, 1, dtype=self.dtype, name='cv2')(x, train)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        return ConvBlock(self.features, 1, dtype=self.dtype, name='cv3')(y, train)
+
+
+def max_pool_same(x: jax.Array, k: int) -> jax.Array:
+    """k x k max pool, stride 1, 'same' padding (pad value -inf like torch)."""
+    p = k // 2
+    return nn.max_pool(x, (k, k), strides=(1, 1), padding=((p, p), (p, p)))
+
+
+class SPPF(nn.Module):
+    """Spatial Pyramid Pooling - Fast. Ref: `yolov8.py:72-90`.
+
+    cv1 to in//2, three chained 5x5 maxpools, concat(x, y1, y2, y3), cv2.
+    """
+
+    features: int
+    in_features: int
+    kernel_size: int = 5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = self.in_features // 2
+        x = ConvBlock(c_, 1, dtype=self.dtype, name='cv1')(x, train)
+        y1 = max_pool_same(x, self.kernel_size)
+        y2 = max_pool_same(y1, self.kernel_size)
+        y3 = max_pool_same(y2, self.kernel_size)
+        y = jnp.concatenate([x, y1, y2, y3], axis=-1)
+        return ConvBlock(self.features, 1, dtype=self.dtype, name='cv2')(y, train)
+
+
+def adaptive_max_pool_2d(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """torch.nn.AdaptiveMaxPool2d semantics on NHWC input.
+
+    Output cell (i, j) maxes over rows [floor(i*H/oh), ceil((i+1)*H/oh)) and
+    cols likewise. Shapes are static, so the window slices are compile-time
+    constants (ref usage: 3x3 pooling in `repvl_pan.py:130,157`).
+    """
+    B, H, W, C = x.shape
+    oh, ow = out_hw
+    rows = []
+    for i in range(oh):
+        h0, h1 = (i * H) // oh, -(-((i + 1) * H) // oh)
+        cols = []
+        for j in range(ow):
+            w0, w1 = (j * W) // ow, -(-((j + 1) * W) // ow)
+            cols.append(jnp.max(x[:, h0:h1, w0:w1, :], axis=(1, 2)))
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)  # (B, oh, ow, C)
+
+
+class MultiHeadAttention(nn.Module):
+    """torch.nn.MultiheadAttention-equivalent (batch_first, packed qkv proj).
+
+    Ref usage: 8-head MHA over 27 image-patch tokens with text queries
+    (`repvl_pan.py:131,173-177`). Parameters mirror torch's layout
+    (in_proj packed as [q; k; v]) so converted weights drop straight in.
+    """
+
+    embed_dim: int
+    num_heads: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query: jax.Array, key: jax.Array,
+                 value: jax.Array,
+                 attn_mask: Optional[jax.Array] = None) -> jax.Array:
+        """attn_mask: optional additive (Lq, Lk) fp mask (e.g. causal -inf)."""
+        E, H = self.embed_dim, self.num_heads
+        hd = E // H
+        in_proj_w = self.param(
+            'in_proj_weight',
+            nn.initializers.xavier_uniform(), (3 * E, E), jnp.float32)
+        in_proj_b = self.param(
+            'in_proj_bias', nn.initializers.zeros, (3 * E,), jnp.float32)
+        out_w = self.param(
+            'out_proj_weight',
+            nn.initializers.xavier_uniform(), (E, E), jnp.float32)
+        out_b = self.param(
+            'out_proj_bias', nn.initializers.zeros, (E,), jnp.float32)
+
+        wq, wk, wv = jnp.split(in_proj_w.astype(self.dtype), 3, axis=0)
+        bq, bk, bv = jnp.split(in_proj_b.astype(self.dtype), 3, axis=0)
+        q = query @ wq.T + bq      # (B, Lq, E)
+        k = key @ wk.T + bk        # (B, Lk, E)
+        v = value @ wv.T + bv
+
+        B, Lq, _ = q.shape
+        Lk = k.shape[1]
+        q = q.reshape(B, Lq, H, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, Lk, H, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Lk, H, hd).transpose(0, 2, 1, 3)
+
+        scores = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+        if attn_mask is not None:
+            scores = scores + attn_mask.astype(jnp.float32)
+        attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        out = jnp.einsum('bhqk,bhkd->bhqd', attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, E)
+        return out @ out_w.astype(self.dtype).T + out_b.astype(self.dtype)

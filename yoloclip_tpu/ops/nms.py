@@ -1,0 +1,103 @@
+"""Fixed-shape, jittable class-agnostic greedy NMS.
+
+Behavioral contract from
+`/root/reference/yolo_clip_detector/inference/detector.py:225-256`: sort by
+score descending, repeatedly keep the best remaining box and drop every box
+whose IoU with it exceeds the threshold. Class-AGNOSTIC despite per-class
+scores -- SURVEY bug #12, kept deliberately (BASELINE.json asks for a
+class-agnostic suppression kernel).
+
+TPU-first design: the O(n^2) host numpy loop becomes a static-shape device
+program -- (1) confidence mask, (2) top-k prefilter to K candidates,
+(3) K x K IoU matrix on the MXU-friendly layout, (4) a lax.fori_loop greedy
+sweep over rows (sequential in K but each step is one vectorized row op),
+(5) fixed max_detections output with a validity mask. With conf=0.25 on the
+raw-cosine score scale, far fewer than K=1024 anchors survive in practice,
+so the prefilter does not change results (SURVEY §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from yoloclip_tpu.ops.boxes import pairwise_iou
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def _greedy_keep(iou: jax.Array, valid: jax.Array,
+                 iou_threshold: float) -> jax.Array:
+    """Greedy suppression over score-sorted candidates.
+
+    iou: (K, K) IoU matrix of candidates sorted by score descending.
+    valid: (K,) bool, candidates above the confidence threshold.
+    Returns keep mask (K,) bool.
+    """
+    K = iou.shape[0]
+    idx = jnp.arange(K)
+
+    def body(i, suppressed):
+        keep_i = valid[i] & ~suppressed[i]
+        # Suppress lower-ranked boxes overlapping box i beyond threshold.
+        row = (iou[i] > iou_threshold) & (idx > i)
+        return suppressed | (row & keep_i)
+
+    suppressed = jax.lax.fori_loop(0, K, body, jnp.zeros(K, bool))
+    return valid & ~suppressed
+
+
+@functools.partial(jax.jit, static_argnames=('topk', 'max_detections'))
+def nms_fixed(boxes: jax.Array, scores: jax.Array,
+              conf_threshold: float | jax.Array = 0.25,
+              iou_threshold: float | jax.Array = 0.45,
+              topk: int = 1024, max_detections: int = 300,
+              class_ids: jax.Array | None = None) -> Dict[str, jax.Array]:
+    """Single-image NMS with fixed output shapes.
+
+    boxes: (A, 4) xyxy; scores: (A,); class_ids: (A,) optional.
+    Returns dict with boxes (D,4), scores (D,), class_ids (D,), valid (D,)
+    and count () where D = max_detections, entries sorted by score desc.
+    """
+    A = scores.shape[0]
+    K = min(topk, A)
+    scores_f = jnp.where(scores > conf_threshold,
+                         scores.astype(jnp.float32), NEG_INF)
+    top_scores, top_idx = jax.lax.top_k(scores_f, K)
+    top_boxes = boxes[top_idx].astype(jnp.float32)
+    valid = top_scores > NEG_INF / 2
+
+    iou = pairwise_iou(top_boxes, top_boxes)
+    keep = _greedy_keep(iou, valid, iou_threshold)
+
+    D = min(max_detections, K)
+    kept_scores = jnp.where(keep, top_scores, NEG_INF)
+    out_scores, sel = jax.lax.top_k(kept_scores, D)
+    out_valid = out_scores > NEG_INF / 2
+    out_boxes = jnp.where(out_valid[:, None], top_boxes[sel], 0.0)
+    out = {
+        'boxes': out_boxes,
+        'scores': jnp.where(out_valid, out_scores, 0.0),
+        'valid': out_valid,
+        'count': jnp.sum(out_valid.astype(jnp.int32)),
+    }
+    if class_ids is not None:
+        top_cls = class_ids[top_idx]
+        out['class_ids'] = jnp.where(out_valid, top_cls[sel], -1)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=('topk', 'max_detections'))
+def batched_nms(boxes: jax.Array, scores: jax.Array,
+                class_ids: jax.Array,
+                conf_threshold: float | jax.Array = 0.25,
+                iou_threshold: float | jax.Array = 0.45,
+                topk: int = 1024,
+                max_detections: int = 300) -> Dict[str, jax.Array]:
+    """vmapped NMS over a batch: boxes (B,A,4), scores (B,A), ids (B,A)."""
+    fn = lambda b, s, c: nms_fixed(
+        b, s, conf_threshold, iou_threshold, topk, max_detections, c)
+    return jax.vmap(fn)(boxes, scores, class_ids)

@@ -1,0 +1,167 @@
+"""Train state + optimizer + jitted train step (single- and multi-chip).
+
+Optimizer contract from `/root/reference/yolo_clip_detector/train.py:170-187`
+and `run_train.py:161-177`: AdamW(lr, weight_decay) + OneCycleLR
+(max_lr=lr, pct_start=warmup_epochs/max_epochs, div_factor=25,
+final_div_factor=1e4, cosine anneal on both phases). The reference steps the
+scheduler ONCE PER EPOCH (`train/trainer.py:387-388` -- OneCycleLR is
+per-step by design; SURVEY §3.2 quirk). Here the learning rate is an
+injected hyperparameter: the trainer evaluates the schedule in epoch units
+(compat) or step units (clean) on the host and writes it into opt_state, so
+both cadences share one jitted step.
+
+TPU-first: the whole forward/backward/update is one jitted program; for
+multi-chip, params/opt_state are replicated and the batch is sharded over
+the mesh's 'data' axis, so XLA inserts the psum gradient all-reduce over ICI
+automatically (SURVEY §2.2's replacement for the reference's absent DDP).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from yoloclip_tpu.config import TrainingConfig
+from yoloclip_tpu.train.losses import combined_loss_compat
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    @property
+    def variables(self):
+        return {'params': self.params, 'batch_stats': self.batch_stats}
+
+
+def _cos_interp(a: float, b: float, t: jax.Array) -> jax.Array:
+    """Cosine interpolation from a (t=0) to b (t=1)."""
+    return b + (a - b) * (1 + jnp.cos(jnp.pi * t)) / 2
+
+
+def make_onecycle_schedule(base_lr: float, total_steps: int,
+                           warmup_steps: int,
+                           div_factor: float = 25.0,
+                           final_div_factor: float = 1e4):
+    """torch OneCycleLR equivalent: cosine lr/div -> lr over the warmup,
+    then cosine lr -> (lr/div)/final_div over the rest."""
+    total_steps = max(total_steps, 2)
+    warm = max(warmup_steps, 1)
+    init = base_lr / div_factor
+    final = init / final_div_factor
+
+    def sched(count):
+        count = jnp.asarray(count, jnp.float32)
+        t_up = jnp.clip(count / warm, 0, 1)
+        t_dn = jnp.clip((count - warm) / max(total_steps - warm, 1), 0, 1)
+        return jnp.where(count < warm,
+                         _cos_interp(init, base_lr, t_up),
+                         _cos_interp(base_lr, final, t_dn))
+
+    return sched
+
+
+def make_optimizer(cfg: TrainingConfig) -> optax.GradientTransformation:
+    """AdamW/SGD with an injected (host-settable) learning rate."""
+    if cfg.optimizer_type.lower() == 'adamw':
+        return optax.inject_hyperparams(optax.adamw)(
+            learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay)
+    if cfg.optimizer_type.lower() == 'sgd':
+        return optax.inject_hyperparams(optax.sgd)(
+            learning_rate=cfg.learning_rate, momentum=0.9)
+    raise ValueError(f'Unknown optimizer {cfg.optimizer_type}')
+
+
+def set_learning_rate(state: TrainState, lr) -> TrainState:
+    """Write the injected learning rate (host-side schedule driver)."""
+    opt_state = state.opt_state
+    hp = dict(opt_state.hyperparams)
+    hp['learning_rate'] = jnp.asarray(lr, jnp.float32)
+    return state.replace(opt_state=opt_state._replace(hyperparams=hp))
+
+
+def get_learning_rate(state: TrainState) -> float:
+    return float(state.opt_state.hyperparams['learning_rate'])
+
+
+def create_train_state(model, cfg: TrainingConfig, rng: jax.Array,
+                       sample_images: jax.Array,
+                       sample_text: jax.Array) -> TrainState:
+    variables = model.init(rng, sample_images, sample_text, train=False)
+    tx = make_optimizer(cfg)
+    params = variables['params']
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get('batch_stats', {}),
+        opt_state=tx.init(params),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+
+
+def make_train_step(cfg: TrainingConfig):
+    """Build train_step(state, batch, text_embeddings) -> (state, metrics).
+
+    batch: images (B,H,W,3), boxes (B,M,4), class_ids (B,M),
+    valid_mask (B,M). text_embeddings: (B,C,E) per-sample (online mode,
+    zero-padded ragged vocabularies -- reference semantics) or (C,E) shared.
+    """
+    weights = dict(cfg.loss_weights)
+
+    def train_step(state: TrainState, batch: Dict, text_embeddings):
+        def loss_fn(params):
+            outputs, mutated = state.apply_fn(
+                {'params': params, 'batch_stats': state.batch_stats},
+                batch['images'], text_embeddings, train=True,
+                mutable=['batch_stats'])
+            total, parts = combined_loss_compat(
+                outputs, batch, weights, temperature=cfg.temperature,
+                iou_type=cfg.iou_type, label_smoothing=cfg.label_smoothing)
+            return total, (parts, mutated['batch_stats'])
+
+        (_, (parts, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        return new_state, parts
+
+    return train_step
+
+
+def make_eval_step(cfg: TrainingConfig):
+    """eval_step(state, batch, text) -> (metrics, outputs-for-mAP).
+
+    Mirrors `trainer.py:257-309`: losses without the dfl term, plus raw
+    top-max_objects predictions for the evaluator (no NMS -- reference
+    behavior)."""
+    weights = dict(cfg.loss_weights)
+    M = cfg.max_objects
+
+    def eval_step(state: TrainState, batch: Dict, text_embeddings):
+        outputs = state.apply_fn(
+            {'params': state.params, 'batch_stats': state.batch_stats},
+            batch['images'], text_embeddings, train=False)
+        total, parts = combined_loss_compat(
+            outputs, batch, weights, temperature=cfg.temperature,
+            iou_type=cfg.iou_type, label_smoothing=cfg.label_smoothing)
+        parts = {k: v for k, v in parts.items() if k != 'dfl_loss'}
+        preds = {
+            'boxes': outputs['boxes'][:, :M],
+            'scores': outputs['scores'][:, :M],
+            'class_ids': outputs['class_ids'][:, :M],
+        }
+        return parts, preds
+
+    return eval_step

@@ -1,0 +1,52 @@
+"""Checkpoint save/load built on Orbax.
+
+Covers the reference's torch.save/torch.load checkpoint surface
+(`/root/reference/yolo_clip_detector/train/trainer.py:450-480`: dict of
+model/optimizer/scheduler state + epoch + best metric, plus crash
+checkpoints) with Orbax StandardCheckpointer -- the TPU-native store
+(async-capable, sharding-aware, resumable).
+
+Checkpoint layout (a directory):
+    <path>/state          # pytree: variables, opt_state, step, metadata
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, variables, opt_state=None, step: int = 0,
+                    metadata: Optional[Dict[str, Any]] = None) -> None:
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    state = {'variables': _to_host(variables), 'step': step}
+    if opt_state is not None:
+        state['opt_state'] = _to_host(opt_state)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, 'state'), state, force=True)
+    ckptr.wait_until_finished()
+    if metadata:
+        with open(os.path.join(path, 'metadata.json'), 'w') as f:
+            json.dump(metadata, f)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(os.path.join(path, 'state'))
+    meta_path = os.path.join(path, 'metadata.json')
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            state['metadata'] = json.load(f)
+    return state
