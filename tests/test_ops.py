@@ -150,3 +150,35 @@ def test_pairwise_iou_known_values():
     b = jnp.asarray([[0., 0., 10., 10.], [5., 5., 15., 15.], [20., 20., 30., 30.]])
     iou = np.asarray(pairwise_iou(a, b))[0]
     np.testing.assert_allclose(iou, [1.0, 25 / 175, 0.0], rtol=1e-4)
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2, 3, 4])
+def test_fixpoint_nms_identical_to_sequential_greedy(seed):
+    boxes, scores = random_boxes(300, seed + 10)
+    a = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores), 0.25, 0.5,
+                  topk=512, max_detections=512, method='greedy')
+    b = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores), 0.25, 0.5,
+                  topk=512, max_detections=512, method='fixpoint')
+    assert int(a['count']) == int(b['count'])
+    np.testing.assert_array_equal(np.asarray(a['valid']),
+                                  np.asarray(b['valid']))
+    np.testing.assert_allclose(np.asarray(a['boxes']),
+                               np.asarray(b['boxes']))
+
+
+def test_fixpoint_nms_suppression_chain():
+    # a -> suppresses b -> would suppress c, but since b is suppressed, c
+    # survives via a (if a,c don't overlap). Exercises >1 fixpoint sweep.
+    boxes = np.array([
+        [0, 0, 10, 10],      # a: kept (top score)
+        [3, 0, 13, 10],      # b: IoU(a,b)=0.538 -> suppressed by a
+        [6, 0, 16, 10],      # c: IoU(b,c)=0.538 but IoU(a,c)=0.25 -> kept,
+    ], np.float32)           # only because b was suppressed (2 sweeps)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    out = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores), 0.25, 0.45,
+                    topk=4, max_detections=4, method='fixpoint')
+    ref = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores), 0.25, 0.45,
+                    topk=4, max_detections=4, method='greedy')
+    assert int(out['count']) == int(ref['count']) == 2
+    np.testing.assert_array_equal(np.asarray(out['valid']),
+                                  np.asarray(ref['valid']))

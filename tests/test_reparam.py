@@ -1,0 +1,36 @@
+"""Reparameterized deploy mode: constant-folded vocabulary, I-Pool dropped."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from yoloclip_tpu.config import ModelConfig
+from yoloclip_tpu.models.yolo_clip import YOLOCLIP
+from yoloclip_tpu.ops.reparam import build_reparam_forward
+
+
+def test_reparam_forward_runs_and_differs_only_by_ipool():
+    cfg = ModelConfig(image_size=(128, 128))
+    model = YOLOCLIP(cfg)
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.uniform(rng, (1, 128, 128, 3))
+    vocab = jax.random.normal(rng, (5, 512))
+    vocab = vocab / jnp.linalg.norm(vocab, axis=-1, keepdims=True)
+    variables = model.init(rng, images, vocab)
+
+    fwd = build_reparam_forward(model, variables, vocab)
+    out = fwd(images)
+    assert out['boxes'].shape == (1, cfg.num_anchors(), 4)
+    assert np.isfinite(np.asarray(out['scores'])).all()
+
+    # equals a manual skip_image_pool apply
+    ref = model.apply(variables, images, vocab, skip_image_pool=True)
+    np.testing.assert_allclose(np.asarray(out['scores']),
+                               np.asarray(ref['scores']), rtol=1e-5)
+    # and text_embeddings pass through UNmodified (I-Pool dropped)
+    np.testing.assert_allclose(
+        np.asarray(out['text_embeddings'][0]), np.asarray(vocab), rtol=1e-6)
+    # while the standard path modifies them
+    std = model.apply(variables, images, vocab)
+    assert not np.allclose(np.asarray(std['text_embeddings'][0]),
+                           np.asarray(vocab))

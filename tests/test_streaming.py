@@ -1,0 +1,67 @@
+"""Streaming runtime tests (small shapes, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yoloclip_tpu.config import InferenceConfig, ModelConfig
+from yoloclip_tpu.inference.streaming import StreamingDetector
+from yoloclip_tpu.models.yolo_clip import YOLOCLIP
+
+
+@pytest.fixture(scope='module')
+def setup():
+    mcfg = ModelConfig(image_size=(128, 128))
+    cfg = InferenceConfig(model=mcfg, conf_threshold=-10.0,
+                          nms_topk=32, max_detections=8)
+    model = YOLOCLIP(mcfg)
+    rng = jax.random.PRNGKey(0)
+    text = jax.random.normal(rng, (3, 512))
+    variables = model.init(rng, jnp.zeros((1, 128, 128, 3)), text)
+    return cfg, variables, text
+
+
+def test_streaming_step_shapes(setup):
+    cfg, variables, text = setup
+    det = StreamingDetector(variables, text, n_streams=4,
+                            frame_hw=(96, 160), config=cfg)
+    frames = (np.random.RandomState(0).rand(4, 96, 160, 3) * 255
+              ).astype(np.uint8)
+    out = det.step(frames)
+    assert out['boxes'].shape == (4, 8, 4)
+    assert out['count'].shape == (4,)
+    # boxes clipped to frame bounds
+    b = np.asarray(out['boxes'])
+    assert b.max() <= 160.0 + 1e-3 and b.min() >= 0.0
+
+
+def test_streaming_run_pipelined(setup):
+    cfg, variables, text = setup
+    det = StreamingDetector(variables, text, n_streams=2,
+                            frame_hw=(96, 160), config=cfg)
+    rng = np.random.RandomState(1)
+    results = {}
+
+    def source(k):
+        return (rng.rand(2, 96, 160, 3) * 255).astype(np.uint8)
+
+    stats = det.run(source, lambda k, out: results.update({k: out}),
+                    max_steps=5)
+    assert stats['steps'] == 5
+    assert sorted(results) == [0, 1, 2, 3, 4]
+    assert results[0]['boxes'].shape == (2, 8, 4)
+
+
+def test_streaming_sharded_over_mesh(setup):
+    from yoloclip_tpu.parallel.mesh import create_mesh
+    cfg, variables, text = setup
+    mesh = create_mesh(n_data=4, n_model=1)
+    det = StreamingDetector(variables, text, n_streams=8,
+                            frame_hw=(96, 160), config=cfg, mesh=mesh)
+    frames = (np.random.RandomState(2).rand(8, 96, 160, 3) * 255
+              ).astype(np.uint8)
+    with mesh:
+        out = det.step(frames)
+    assert out['boxes'].shape == (8, 8, 4)
+    assert np.isfinite(np.asarray(out['scores'])).all()

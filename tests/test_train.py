@@ -1,0 +1,195 @@
+"""Training-path tests: optimizer schedule, train step, full trainer smoke
+on a synthetic COCO set, checkpoint round trip, multi-chip sharded step."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yoloclip_tpu.config import ModelConfig, TrainingConfig
+from yoloclip_tpu.models.yolo_clip import YOLOCLIP
+from yoloclip_tpu.train.train_state import (create_train_state,
+                                            get_learning_rate,
+                                            make_onecycle_schedule,
+                                            make_train_step,
+                                            set_learning_rate)
+
+CLASSES = ['cat', 'dog', 'bird']
+
+
+def small_cfg(**kw):
+    base = dict(model=ModelConfig(image_size=(128, 128)), max_objects=10,
+                batch_size=2, max_epochs=4, warmup_epochs=1, eval_interval=2,
+                save_interval=2, num_workers=0,
+                class_names=tuple(CLASSES))
+    base.update(kw)
+    return TrainingConfig(**base)
+
+
+def test_onecycle_schedule_shape():
+    sched = make_onecycle_schedule(1e-3, total_steps=100, warmup_steps=10,
+                                   div_factor=25, final_div_factor=1e4)
+    lr0 = float(sched(0))
+    lr_peak = float(sched(10))
+    lr_end = float(sched(100))
+    assert lr0 == pytest.approx(1e-3 / 25, rel=1e-4)
+    assert lr_peak == pytest.approx(1e-3, rel=1e-4)
+    assert lr_end == pytest.approx(1e-3 / 25 / 1e4, rel=1e-3)
+    # monotone up then down
+    ups = [float(sched(i)) for i in range(11)]
+    downs = [float(sched(i)) for i in range(10, 101, 10)]
+    assert all(a <= b + 1e-12 for a, b in zip(ups, ups[1:]))
+    assert all(a >= b - 1e-12 for a, b in zip(downs, downs[1:]))
+
+
+@pytest.fixture(scope='module')
+def state_and_batch():
+    cfg = small_cfg()
+    model = YOLOCLIP(cfg.model)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, cfg, rng,
+                               jnp.zeros((1, 128, 128, 3)),
+                               jnp.zeros((8, 512)))
+    npr = np.random.RandomState(0)
+    B, M, C = 2, 10, 8
+    batch = {
+        'images': jnp.asarray(npr.rand(B, 128, 128, 3), jnp.float32),
+        'boxes': jnp.asarray(npr.rand(B, M, 4) * 100, jnp.float32),
+        'class_ids': jnp.asarray(npr.randint(0, 3, (B, M)), jnp.int32),
+        'valid_mask': jnp.asarray(npr.rand(B, M) > 0.3),
+    }
+    text = jnp.asarray(npr.randn(B, C, 512), jnp.float32)
+    return cfg, state, batch, text
+
+
+def test_train_step_reduces_loss(state_and_batch):
+    cfg, state, batch, text = state_and_batch
+    step = jax.jit(make_train_step(cfg))
+    state = set_learning_rate(state, 1e-3)
+    _, first = step(state, batch, text)
+    s = state
+    for _ in range(5):
+        s, parts = step(s, batch, text)
+    assert float(parts['loss']) < float(first['loss'])
+    assert int(s.step) == 5
+    assert np.isfinite(float(parts['loss']))
+
+
+def test_learning_rate_injection(state_and_batch):
+    cfg, state, *_ = state_and_batch
+    state = set_learning_rate(state, 0.5)
+    assert get_learning_rate(state) == pytest.approx(0.5)
+
+
+def test_batch_stats_update(state_and_batch):
+    cfg, state, batch, text = state_and_batch
+    step = jax.jit(make_train_step(cfg))
+    new_state, _ = step(state, batch, text)
+    old = jax.tree_util.tree_leaves(state.batch_stats)
+    new = jax.tree_util.tree_leaves(new_state.batch_stats)
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+@pytest.fixture(scope='module')
+def tiny_coco(tmp_path_factory):
+    root = tmp_path_factory.mktemp('coco_train')
+    img_dir = root / 'images'
+    img_dir.mkdir()
+    rng = np.random.RandomState(1)
+    from PIL import Image
+    images, annotations = [], []
+    aid = 1
+    for i in range(4):
+        arr = (rng.rand(100, 140, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f'{i}.png')
+        images.append({'id': i, 'file_name': f'{i}.png',
+                       'width': 140, 'height': 100})
+        for _ in range(2):
+            annotations.append({
+                'id': aid, 'image_id': i,
+                'category_id': int(rng.randint(1, 4)),
+                'bbox': [10.0, 10.0, 40.0, 30.0], 'area': 1200.0,
+                'iscrowd': 0})
+            aid += 1
+    anno = {'images': images, 'annotations': annotations,
+            'categories': [{'id': k + 1, 'name': n}
+                           for k, n in enumerate(CLASSES)]}
+    path = root / 'anno.json'
+    with open(path, 'w') as f:
+        json.dump(anno, f)
+    return str(path), str(img_dir)
+
+
+class StubTextEncoder:
+    """Deterministic per-prompt embeddings without the 12-layer CLIP tower
+    (too slow for a CPU smoke test at 'highest' matmul precision)."""
+
+    embed_dim = 512
+
+    def __call__(self, prompts):
+        rows = []
+        for p in prompts:
+            seed = abs(hash(p)) % (2 ** 31)
+            v = np.random.RandomState(seed).randn(512).astype(np.float32)
+            rows.append(v / np.linalg.norm(v))
+        return jnp.asarray(np.stack(rows))
+
+
+def test_trainer_end_to_end(tiny_coco, tmp_path):
+    from yoloclip_tpu.data.coco import COCODataset
+    from yoloclip_tpu.data.loader import DataLoader
+    from yoloclip_tpu.train.trainer import YOLOCLIPTrainer
+
+    anno, imgs = tiny_coco
+    cfg = small_cfg(output_dir=str(tmp_path / 'out'), max_epochs=2)
+    ds = COCODataset(anno, imgs, CLASSES, cfg.model.image_size,
+                     mode='train', mosaic_prob=0.0,
+                     max_objects=cfg.max_objects, seed=0)
+    dl = DataLoader(ds, batch_size=2, shuffle=True, num_workers=0)
+    model = YOLOCLIP(cfg.model)
+    enc = StubTextEncoder()
+    trainer = YOLOCLIPTrainer(model, enc, cfg)
+    history = trainer.train(dl, val_dataloader=dl)
+
+    assert len(history['train_loss']) == 2
+    assert all(np.isfinite(v) for v in history['train_loss'])
+    assert len(history['val_mAP50']) == 1          # eval_interval=2
+    assert os.path.isdir(os.path.join(cfg.output_dir, 'final_model'))
+    assert os.path.isdir(os.path.join(cfg.output_dir, 'checkpoint_epoch_2'))
+
+    # checkpoint round trip
+    trainer2 = YOLOCLIPTrainer(YOLOCLIP(cfg.model), enc, cfg)
+    trainer2.load(os.path.join(cfg.output_dir, 'final_model'))
+    a = jax.tree_util.tree_leaves(trainer.state.params)
+    b = jax.tree_util.tree_leaves(trainer2.state.params)
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+
+def test_multichip_dryrun_8_devices():
+    import __graft_entry__
+    assert len(jax.devices()) == 8
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_matches_single_chip(state_and_batch):
+    """DP+TP sharded step must produce the same loss as single-device."""
+    from yoloclip_tpu.parallel.mesh import create_mesh
+    from yoloclip_tpu.parallel.train_step import (make_sharded_train_step,
+                                                  place_batch, place_text,
+                                                  replicate_state)
+    cfg, state, batch, text = state_and_batch
+    single = jax.jit(make_train_step(cfg))
+    _, parts_single = single(state, batch, text)
+
+    mesh = create_mesh(n_data=2, n_model=2)
+    with mesh:
+        state_r = replicate_state(state, mesh)
+        step = make_sharded_train_step(cfg, mesh)(state_r)
+        b = place_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
+        t = place_text(np.asarray(text), mesh)
+        _, parts_sharded = step(state_r, b, t)
+    assert float(parts_sharded['loss']) == pytest.approx(
+        float(parts_single['loss']), rel=2e-4)

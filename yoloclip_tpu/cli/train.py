@@ -1,0 +1,114 @@
+"""Training CLI. Flag surface mirrors
+`/root/reference/yolo_clip_detector/train.py:36-48` (--config --resume
+--output_dir --backbone --batch_size --epochs --lr --no_eval; --devices is
+accepted for compatibility but maps to the data-parallel mesh size instead
+of CUDA_VISIBLE_DEVICES).
+
+Usage:
+    python -m yoloclip_tpu.cli.train --config cfg.yaml --epochs 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+from typing import List, Optional
+
+logger = logging.getLogger('yoloclip_tpu.train')
+
+
+def parse_args(argv: Optional[List[str]] = None):
+    p = argparse.ArgumentParser(description='Train YOLO-CLIP (TPU)')
+    p.add_argument('--config', type=str, default=None)
+    p.add_argument('--resume', type=str, default=None,
+                   help='Checkpoint dir to resume from')
+    p.add_argument('--output_dir', type=str, default=None)
+    p.add_argument('--backbone', type=str, default=None)
+    p.add_argument('--batch_size', type=int, default=None)
+    p.add_argument('--epochs', type=int, default=None)
+    p.add_argument('--lr', type=float, default=None)
+    p.add_argument('--no_eval', action='store_true')
+    p.add_argument('--devices', type=str, default=None,
+                   help='Data-parallel device count (default: all)')
+    p.add_argument('--text-checkpoint', type=str, default=None)
+    p.add_argument('--schedule-units', choices=['epoch', 'step'],
+                   default='epoch',
+                   help="'epoch' reproduces the reference's per-epoch "
+                        "OneCycle stepping; 'step' is textbook per-step")
+    return p.parse_args(argv)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    args = parse_args(argv)
+
+    import jax
+
+    from yoloclip_tpu.config import TrainingConfig, load_config
+    from yoloclip_tpu.data.augment import default_train_transforms
+    from yoloclip_tpu.data.coco import COCODataset
+    from yoloclip_tpu.data.loader import DataLoader
+    from yoloclip_tpu.models.yolo_clip import YOLOCLIP
+    from yoloclip_tpu.text.encoder import CLIPTextEncoder
+    from yoloclip_tpu.train.trainer import YOLOCLIPTrainer
+    from yoloclip_tpu.utils.general import set_seed
+
+    overrides = {}
+    if args.output_dir:
+        overrides['output_dir'] = args.output_dir
+    if args.batch_size:
+        overrides['batch_size'] = args.batch_size
+    if args.epochs:
+        overrides['max_epochs'] = args.epochs
+    if args.lr:
+        overrides['learning_rate'] = args.lr
+    if args.backbone:
+        overrides['backbone_variant'] = args.backbone
+    cfg = load_config(TrainingConfig, args.config, **overrides)
+    set_seed(cfg.seed)
+
+    train_ds = COCODataset(
+        cfg.train_anno_path, cfg.train_img_dir, cfg.class_names,
+        cfg.model.image_size,
+        transform=default_train_transforms(cfg.model.image_size, cfg.seed),
+        mode='train', mosaic_prob=cfg.mosaic_prob,
+        max_objects=cfg.max_objects, seed=cfg.seed)
+    train_dl = DataLoader(train_ds, cfg.batch_size, shuffle=True,
+                          num_workers=cfg.num_workers, drop_last=True,
+                          seed=cfg.seed)
+    val_dl = None
+    if not args.no_eval:
+        val_ds = COCODataset(
+            cfg.val_anno_path, cfg.val_img_dir, cfg.class_names,
+            cfg.model.image_size, mode='val',
+            max_objects=cfg.max_objects)
+        val_dl = DataLoader(val_ds, cfg.batch_size, shuffle=False,
+                            num_workers=cfg.num_workers, drop_last=False)
+
+    mesh = None
+    n_dp = int(args.devices) if args.devices else None
+    if n_dp is None:
+        n_dp = len(jax.devices())
+    if n_dp > 1:
+        from yoloclip_tpu.parallel.mesh import create_mesh
+        mesh = create_mesh(n_data=n_dp, n_model=1)
+        logger.info('Data-parallel mesh: %s', mesh.shape)
+
+    model = YOLOCLIP(cfg.model)
+    text_encoder = CLIPTextEncoder(cfg.model.clip_model, cfg.model.embed_dim,
+                                   checkpoint_path=args.text_checkpoint,
+                                   dtype=cfg.model.dtype)
+    trainer = YOLOCLIPTrainer(model, text_encoder, cfg, mesh=mesh,
+                              schedule_units=args.schedule_units)
+    if args.resume:
+        trainer.load(args.resume)
+
+    history = trainer.train(train_dl, val_dl)
+    logger.info('Training complete. Final train loss: %s',
+                history['train_loss'][-1] if history['train_loss'] else None)
+    return 0
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())

@@ -173,12 +173,35 @@ def _merge(cfg, overrides: Dict[str, Any]):
     return dataclasses.replace(cfg, **updates)
 
 
+def _load_yaml_with_includes(path: str) -> Dict[str, Any]:
+    """Load a YAML config resolving `model_config:`/`dataset_config:`
+    includes (paths relative to the including file).
+
+    The reference DECLARES this compositional scheme in its YAMLs
+    (`config/yolov8n_coco.yaml:4-5`) but never implements the resolution
+    (SURVEY §2.7 "aspirational"); here it works: include keys merge first,
+    the including file's own keys override.
+    """
+    import os
+
+    import yaml
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    base_dir = os.path.dirname(os.path.abspath(path))
+    merged: Dict[str, Any] = {}
+    for key in ('model_config', 'dataset_config'):
+        inc = data.pop(key, None)
+        if inc:
+            inc_path = inc if os.path.isabs(inc) else os.path.join(base_dir,
+                                                                   inc)
+            merged.update(_load_yaml_with_includes(inc_path))
+    merged.update(data)
+    return merged
+
+
 def load_config(cls, yaml_path: Optional[str] = None, **overrides):
-    """defaults < YAML < kwargs. Ref merge order `train.py:75-93`."""
+    """defaults < YAML (with includes) < kwargs. Ref merge `train.py:75-93`."""
     cfg = cls()
     if yaml_path is not None:
-        import yaml
-        with open(yaml_path) as f:
-            data = yaml.safe_load(f) or {}
-        cfg = _merge(cfg, data)
+        cfg = _merge(cfg, _load_yaml_with_includes(yaml_path))
     return _merge(cfg, overrides)

@@ -125,16 +125,22 @@ class RepVLPAN(nn.Module):
     @nn.compact
     def __call__(self, features: Sequence[jax.Array],
                  text_embeddings: jax.Array, train: bool = False,
-                 class_mask: Optional[jax.Array] = None
+                 class_mask: Optional[jax.Array] = None,
+                 skip_image_pool: bool = False
                  ) -> Tuple[List[jax.Array], jax.Array]:
         assert len(features) == 3, "RepVLPAN requires (C3, C4, C5)"
         dt = self.dtype
         ic, oc = self.in_channels, self.out_channels
 
-        # 1. image -> text fusion
-        text_embeddings = ImagePoolingAttention(
-            self.text_dim, dtype=dt, name='image_pooling_attention')(
-            text_embeddings, features)
+        # 1. image -> text fusion (dropped in reparameterized deploy mode,
+        #    see ops/reparam.py; params still created for checkpoint parity)
+        ipa = ImagePoolingAttention(self.text_dim, dtype=dt,
+                                    name='image_pooling_attention')
+        updated = ipa(text_embeddings, features)
+        if not skip_image_pool:
+            text_embeddings = updated
+        # else: `updated` is unused and XLA dead-code-eliminates the whole
+        # I-Pool subgraph; the call still ran so flax creates its params.
 
         # 2. laterals (channel-preserving 1x1)
         laterals = [

@@ -44,7 +44,8 @@ class YOLOCLIP(nn.Module):
     def __call__(self, images: jax.Array, text_embeddings: jax.Array,
                  train: bool = False,
                  class_mask: Optional[jax.Array] = None,
-                 with_aux_box: bool = False) -> Dict[str, jax.Array]:
+                 with_aux_box: bool = False,
+                 skip_image_pool: bool = False) -> Dict[str, jax.Array]:
         """images: (B,H,W,3) float in [0,1]; text_embeddings: (B,C,E) or (C,E)."""
         cfg = self.cfg
         dt = jnp.bfloat16 if cfg.dtype == 'bfloat16' else jnp.float32
@@ -63,7 +64,8 @@ class YOLOCLIP(nn.Module):
         fc = tuple(cfg.feature_channels())
         pan_feats, text_embeddings = RepVLPAN(
             fc, fc, cfg.embed_dim, cfg.neck_bottlenecks, dtype=dt,
-            name='neck')(feats, text_embeddings, train, class_mask)
+            name='neck')(feats, text_embeddings, train, class_mask,
+                         skip_image_pool)
 
         sims, obj_embeds, aux_box = [], [], []
         for i, feat in enumerate(pan_feats):

@@ -50,12 +50,47 @@ def _greedy_keep(iou: jax.Array, valid: jax.Array,
     return valid & ~suppressed
 
 
-@functools.partial(jax.jit, static_argnames=('topk', 'max_detections'))
+def _fixpoint_keep(iou: jax.Array, valid: jax.Array,
+                   iou_threshold: float) -> jax.Array:
+    """Greedy-NMS result via parallel fixed-point iteration.
+
+    Greedy NMS has a closed-form fixed point: a candidate is kept iff no
+    higher-ranked KEPT candidate overlaps it beyond the threshold. Starting
+    from "everyone kept" and iterating
+        keep[j] <- valid[j] & ~any_{i<j}(over[i,j] & keep[i])
+    converges to the exact greedy answer in O(longest suppression chain)
+    sweeps (typically 2-4 on detection outputs) instead of K sequential
+    steps -- each sweep is ONE (K, K) masked matmul-shaped reduction that
+    vectorizes on the VPU. This is the low-latency path; results are
+    IDENTICAL to `_greedy_keep` (tests assert equality).
+    """
+    K = iou.shape[0]
+    idx = jnp.arange(K)
+    over = (iou > iou_threshold) & (idx[:, None] < idx[None, :])  # i<j
+
+    def cond(carry):
+        keep, changed = carry
+        return changed
+
+    def body(carry):
+        keep, _ = carry
+        suppressed = jnp.any(over & keep[:, None], axis=0)
+        new_keep = valid & ~suppressed
+        return new_keep, jnp.any(new_keep != keep)
+
+    keep0 = valid
+    keep, _ = jax.lax.while_loop(cond, body, (keep0, jnp.bool_(True)))
+    return keep
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('topk', 'max_detections', 'method'))
 def nms_fixed(boxes: jax.Array, scores: jax.Array,
               conf_threshold: float | jax.Array = 0.25,
               iou_threshold: float | jax.Array = 0.45,
               topk: int = 1024, max_detections: int = 300,
-              class_ids: jax.Array | None = None) -> Dict[str, jax.Array]:
+              class_ids: jax.Array | None = None,
+              method: str = 'fixpoint') -> Dict[str, jax.Array]:
     """Single-image NMS with fixed output shapes.
 
     boxes: (A, 4) xyxy; scores: (A,); class_ids: (A,) optional.
@@ -71,7 +106,8 @@ def nms_fixed(boxes: jax.Array, scores: jax.Array,
     valid = top_scores > NEG_INF / 2
 
     iou = pairwise_iou(top_boxes, top_boxes)
-    keep = _greedy_keep(iou, valid, iou_threshold)
+    keep_fn = _fixpoint_keep if method == 'fixpoint' else _greedy_keep
+    keep = keep_fn(iou, valid, iou_threshold)
 
     D = min(max_detections, K)
     kept_scores = jnp.where(keep, top_scores, NEG_INF)
