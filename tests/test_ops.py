@@ -182,3 +182,18 @@ def test_fixpoint_nms_suppression_chain():
     assert int(out['count']) == int(ref['count']) == 2
     np.testing.assert_array_equal(np.asarray(out['valid']),
                                   np.asarray(ref['valid']))
+
+
+def test_resize_bilinear_matches_cv2():
+    import cv2
+    from yoloclip_tpu.ops.preprocess import resize_bilinear
+    rng = np.random.RandomState(7)
+    img = (rng.rand(97, 153, 3) * 255).astype(np.uint8)
+    for out_hw in [(64, 101), (200, 300), (97, 153)]:
+        got = np.asarray(resize_bilinear(
+            jnp.asarray(img, jnp.float32), out_hw))
+        want = cv2.resize(img, (out_hw[1], out_hw[0]),
+                          interpolation=cv2.INTER_LINEAR).astype(np.float32)
+        # cv2 uses fixed-point arithmetic; allow ~1 intensity level
+        assert np.abs(got - want).max() <= 1.5, out_hw
+        assert np.abs(got - want).mean() < 0.3

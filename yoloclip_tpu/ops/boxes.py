@@ -62,13 +62,28 @@ def elementwise_iou(a: jax.Array, b: jax.Array, eps: float = 1e-7
     return inter / (union + eps)
 
 
-def adjust_box_coordinates(boxes: jax.Array, orig_hw, target_hw) -> jax.Array:
-    """Scale xyxy boxes from an original image into its letterboxed frame.
+def compute_padding_size(original_hw, target_hw):
+    """(top, bottom, left, right) padding for a CENTERED letterbox.
 
-    Ref `utils/data_utils.py:73-99`: multiply by min-ratio (top-left pad, no
-    offset).
+    Ref `utils/data_utils.py:43-71`. Note the reference's actually-used
+    pipelines letterbox TOP-LEFT (`coco_dataset.py:122`,
+    `detector.py:147-150`); these centered helpers exist in its utils and
+    are kept for API completeness.
     """
-    oh, ow = orig_hw
+    oh, ow = original_hw
     th, tw = target_hw
-    scale = jnp.minimum(th / oh, tw / ow)
-    return boxes * scale
+    ratio = min(th / oh, tw / ow)
+    nh, nw = int(oh * ratio), int(ow * ratio)
+    pt, pl = (th - nh) // 2, (tw - nw) // 2
+    return (pt, th - nh - pt, pl, tw - nw - pl)
+
+
+def adjust_box_coordinates(boxes: jax.Array, padding, scale_factor
+                           ) -> jax.Array:
+    """Map original-image xyxy boxes into a (possibly centered) letterboxed
+    frame: scale then add the pad offsets. Ref `utils/data_utils.py:73-99`.
+    """
+    pad_top, _, pad_left, _ = padding
+    x = boxes * scale_factor
+    offset = jnp.asarray([pad_left, pad_top, pad_left, pad_top], x.dtype)
+    return x + offset

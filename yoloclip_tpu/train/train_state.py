@@ -116,6 +116,23 @@ def make_train_step(cfg: TrainingConfig):
     zero-padded ragged vocabularies -- reference semantics) or (C,E) shared.
     """
     weights = dict(cfg.loss_weights)
+    use_clean = cfg.assigner == 'topk_center'
+    if use_clean:
+        from yoloclip_tpu.train.assign import anchor_points
+        anchors, anchor_strides = anchor_points(cfg.model.strides,
+                                                cfg.model.image_size)
+
+    def compute_loss(outputs, batch):
+        if use_clean:
+            from yoloclip_tpu.train.losses import combined_loss_clean
+            return combined_loss_clean(
+                outputs, batch, weights, anchors, anchor_strides,
+                temperature=cfg.temperature, iou_type=cfg.iou_type,
+                label_smoothing=cfg.label_smoothing,
+                reg_max=cfg.model.reg_max)
+        return combined_loss_compat(
+            outputs, batch, weights, temperature=cfg.temperature,
+            iou_type=cfg.iou_type, label_smoothing=cfg.label_smoothing)
 
     def train_step(state: TrainState, batch: Dict, text_embeddings):
         def loss_fn(params):
@@ -123,9 +140,7 @@ def make_train_step(cfg: TrainingConfig):
                 {'params': params, 'batch_stats': state.batch_stats},
                 batch['images'], text_embeddings, train=True,
                 mutable=['batch_stats'])
-            total, parts = combined_loss_compat(
-                outputs, batch, weights, temperature=cfg.temperature,
-                iou_type=cfg.iou_type, label_smoothing=cfg.label_smoothing)
+            total, parts = compute_loss(outputs, batch)
             return total, (parts, mutated['batch_stats'])
 
         (_, (parts, new_bs)), grads = jax.value_and_grad(
