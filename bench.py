@@ -33,9 +33,11 @@ def build(batch_size: int, num_classes: int, image_size: int, dtype: str):
     text = text / jnp.linalg.norm(text, axis=-1, keepdims=True)
     variables = model.init(rng, images[:1], text)
 
+    fused = jax.default_backend() == 'tpu'
+
     @jax.jit
     def pipeline(variables, images, text):
-        out = model.apply(variables, images, text)
+        out = model.apply(variables, images, text, fused_scores=fused)
         return batched_nms(out['boxes'], out['scores'], out['class_ids'],
                            conf_threshold=0.25, iou_threshold=0.45,
                            topk=1024, max_detections=300)

@@ -82,8 +82,8 @@ def test_dataset_letterbox_scaling(coco_dir):
     # content occupies exactly the top-left scaled region
     nh, nw = int(info['height'] * ratio), int(info['width'] * ratio)
     img = item['images']
-    assert img[nh:, :, :].max() == 0.0 or nh == 320
-    assert img[:, nw:, :].max() == 0.0 or nw == 320
+    assert nh == 320 or img[nh:, :, :].max() == 0.0
+    assert nw == 320 or img[:, nw:, :].max() == 0.0
 
 
 def test_dataset_mosaic(coco_dir):

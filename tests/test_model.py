@@ -133,3 +133,22 @@ def test_composite_model_jits_and_batches():
     fwd = jax.jit(lambda v, i, t: model.apply(v, i, t))
     out = fwd(variables, images, text)
     assert out['boxes'].shape == (2, 525, 4)
+
+
+def test_composite_model_fused_scores_matches_einsum():
+    """fused_scores=True (Pallas streaming max) must reproduce the einsum
+    path's scores/class_ids exactly on a shared vocabulary."""
+    cfg = ModelConfig(image_size=(160, 160))
+    model = YOLOCLIP(cfg)
+    images = jax.random.uniform(KEY, (2, 160, 160, 3))
+    text = jax.random.normal(KEY, (7, 512))
+    variables = model.init(KEY, images, text)
+    ref = model.apply(variables, images, text)
+    got = model.apply(variables, images, text, fused_scores=True)
+    assert 'similarity' not in got
+    # accumulation-order fp32 noise only (~2.5e-5 max on the cosine scale)
+    np.testing.assert_allclose(np.asarray(got['scores']),
+                               np.asarray(ref['scores']),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got['class_ids']),
+                                  np.asarray(ref['class_ids']))

@@ -1,0 +1,41 @@
+"""Fused similarity kernel vs the XLA oracle (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yoloclip_tpu.ops.pallas.similarity import (fused_similarity_argmax,
+                                                similarity_argmax_reference)
+
+
+def normed(rng, shape):
+    x = rng.randn(*shape).astype(np.float32)
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+@pytest.mark.parametrize('A,C,E', [(525, 80, 64), (700, 130, 128)])
+def test_fused_matches_reference(A, C, E):
+    rng = np.random.RandomState(0)
+    obj = jnp.asarray(normed(rng, (A, E)))
+    text = jnp.asarray(normed(rng, (C, E)))
+    want_s, want_i = similarity_argmax_reference(obj, text)
+    got_s, got_i = fused_similarity_argmax(obj, text, tile_a=256, tile_c=128,
+                                           interpret=True)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_fused_masks_invalid_classes():
+    rng = np.random.RandomState(1)
+    obj = jnp.asarray(normed(rng, (256, 64)))
+    text = jnp.asarray(normed(rng, (96, 64)))
+    nv = jnp.int32(50)
+    want_s, want_i = similarity_argmax_reference(obj, text, nv)
+    got_s, got_i = fused_similarity_argmax(obj, text, nv, tile_a=128,
+                                           tile_c=64, interpret=True)
+    assert (np.asarray(got_i) < 50).all()
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=1e-5)

@@ -97,6 +97,8 @@ class InferenceConfig:
     # TPU rebuild knobs:
     max_detections: int = 300      # fixed-shape NMS output size
     nms_topk: int = 1024           # pre-NMS candidate pool (top-k by score)
+    fused_similarity: bool = True  # Pallas streaming max/argmax kernel
+    #   (auto-disabled off-TPU; the XLA einsum path is used instead)
 
 
 @dataclass(frozen=True)

@@ -110,17 +110,23 @@ class YOLOCLIPDetector:
     # ------------------------------------------------------------------
     # jitted pipeline
     # ------------------------------------------------------------------
+    def _use_fused_similarity(self) -> bool:
+        return (getattr(self.config, 'fused_similarity', True)
+                and jax.default_backend() == 'tpu')
+
     def _build_detect_fn(self):
         model = self.model
         target_hw = self.image_size
         topk = self.config.nms_topk
         max_det = self.config.max_detections
+        fused = self._use_fused_similarity()
 
         @functools.partial(jax.jit, static_argnames=('orig_hw',))
         def run(variables, image, text_embeddings, orig_hw,
                 conf_threshold, iou_threshold):
             canvas, scale = letterbox(image, target_hw)
-            out = model.apply(variables, canvas[None], text_embeddings)
+            out = model.apply(variables, canvas[None], text_embeddings,
+                              fused_scores=fused)
             boxes = rescale_boxes(out['boxes'][0], scale, orig_hw)
             return nms_fixed(boxes, out['scores'][0], conf_threshold,
                              iou_threshold, topk=topk,
@@ -199,7 +205,8 @@ class YOLOCLIPDetector:
 
         canvases, scale = letterbox_batch(jnp.asarray(images),
                                           self.image_size)
-        out = self.model.apply(self.variables, canvases, text)
+        out = self.model.apply(self.variables, canvases, text,
+                               fused_scores=self._use_fused_similarity())
         h, w = images.shape[1:3]
         boxes = rescale_boxes(out['boxes'], scale, (h, w))
         return batched_nms(boxes, out['scores'], out['class_ids'],

@@ -45,13 +45,24 @@ class YOLOCLIP(nn.Module):
                  train: bool = False,
                  class_mask: Optional[jax.Array] = None,
                  with_aux_box: bool = False,
-                 skip_image_pool: bool = False) -> Dict[str, jax.Array]:
-        """images: (B,H,W,3) float in [0,1]; text_embeddings: (B,C,E) or (C,E)."""
+                 skip_image_pool: bool = False,
+                 fused_scores: bool = False) -> Dict[str, jax.Array]:
+        """images: (B,H,W,3) float in [0,1]; text_embeddings: (B,C,E) or (C,E).
+
+        fused_scores=True (inference, shared vocab only) computes
+        scores/class_ids with the Pallas streaming max kernel
+        (`ops/pallas/similarity.py`) and omits the `similarity` output: the
+        (B, A, C) tensor -- 1.3 GB HBM round-trip at LVIS scale -- is never
+        materialized.
+        """
         cfg = self.cfg
         dt = jnp.bfloat16 if cfg.dtype == 'bfloat16' else jnp.float32
         B = images.shape[0]
 
-        if text_embeddings.ndim == 2:   # offline vocab broadcast, ref :121-123
+        shared_text = text_embeddings.ndim == 2
+        use_fused = (fused_scores and shared_text and class_mask is None
+                     and cfg.cls_alpha >= 0)
+        if shared_text:                 # offline vocab broadcast, ref :121-123
             text_embeddings = jnp.broadcast_to(
                 text_embeddings[None], (B,) + text_embeddings.shape)
         if class_mask is not None and class_mask.ndim == 1:
@@ -74,10 +85,11 @@ class YOLOCLIP(nn.Module):
                 cfg.cls_alpha, cfg.cls_beta, dtype=dt,
                 name=f'contrastive_heads_{i}')
             obj, box = head(feat, train, with_box=with_aux_box)
-            sim = head.compute_similarity(obj, text_embeddings)  # (B,HW,C) fp32
-            if class_mask is not None:
-                sim = jnp.where(class_mask[:, None, :], sim, -jnp.inf)
-            sims.append(sim)
+            if not use_fused:
+                sim = head.compute_similarity(obj, text_embeddings)
+                if class_mask is not None:
+                    sim = jnp.where(class_mask[:, None, :], sim, -jnp.inf)
+                sims.append(sim)                             # (B,HW,C) fp32
             Bh, H, W, E = obj.shape
             obj_embeds.append(obj.reshape(Bh, H * W, E))
             if with_aux_box:
@@ -87,10 +99,26 @@ class YOLOCLIP(nn.Module):
                             dtype=dt, name='box_head')(pan_feats, train)
         boxes = decode_boxes(box_preds, cfg.strides, cfg.reg_max)
 
-        similarity = jnp.concatenate(sims, axis=1)          # (B, A, C)
-        scores = jnp.max(similarity, axis=-1)               # (B, A)
-        class_ids = jnp.argmax(similarity, axis=-1)         # (B, A)
         obj_embeddings = jnp.concatenate(obj_embeds, axis=1).astype(jnp.float32)
+
+        if use_fused:
+            from yoloclip_tpu.ops.pallas.similarity import (
+                fused_similarity_argmax)
+            A = obj_embeddings.shape[1]
+            obj_n = obj_embeddings / jnp.maximum(jnp.linalg.norm(
+                obj_embeddings, axis=-1, keepdims=True), 1e-12)
+            txt = text_embeddings[0].astype(jnp.float32)     # shared vocab
+            txt_n = txt / jnp.maximum(jnp.linalg.norm(
+                txt, axis=-1, keepdims=True), 1e-12)
+            s, ids = fused_similarity_argmax(
+                obj_n.reshape(B * A, -1).astype(dt), txt_n.astype(dt))
+            scores = (cfg.cls_alpha * s + cfg.cls_beta).reshape(B, A)
+            class_ids = ids.reshape(B, A)
+            similarity = None
+        else:
+            similarity = jnp.concatenate(sims, axis=1)      # (B, A, C)
+            scores = jnp.max(similarity, axis=-1)           # (B, A)
+            class_ids = jnp.argmax(similarity, axis=-1)     # (B, A)
 
         out = {
             'boxes': boxes,                       # (B, A, 4) xyxy, input px
@@ -99,8 +127,9 @@ class YOLOCLIP(nn.Module):
             'obj_embeddings': obj_embeddings,     # (B, A, E)
             'text_embeddings': text_embeddings.astype(jnp.float32),
             'box_preds': box_preds,               # list of (B,H,W,68) raw
-            'similarity': similarity,             # (B, A, C) -- rebuild extra
         }
+        if similarity is not None:
+            out['similarity'] = similarity        # (B, A, C) -- rebuild extra
         if with_aux_box:
             out['aux_box_preds'] = aux_box
         return out

@@ -1,0 +1,145 @@
+"""Pallas TPU kernel: fused region-text similarity + max/argmax.
+
+The open-vocabulary scoring step is
+    sim = normalize(obj) @ normalize(text)^T      # (A, C)
+    scores, class_ids = sim.max(-1), sim.argmax(-1)
+(ref `model/heads/text_contrastive.py:119-153` + `model/yolo_clip.py:
+194-214`). At LVIS scale (C=1203) the intermediate is the widest tensor in
+the whole model: bs=32 x 8400 x 1203 fp32 = 1.3 GB of HBM traffic that the
+detector immediately reduces away.
+
+This kernel streams text tiles through VMEM and keeps a running max/argmax
+per region tile, so the (A, C) intermediate never exists: per grid step it
+does one (TILE_A, E) x (E, TILE_C) MXU matmul and a VPU running-max update.
+HBM traffic drops from O(A*C) to O(A*E + C*E + A).
+
+The class dimension is padded to the tile size with -inf masking, so padded
+vocabulary rows can never win the argmax (strictly better than the
+reference's zero-row padding; pass a `num_valid` smaller than C to also
+mask real rows).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30  # python float: jnp scalars would be captured consts in pallas
+
+
+def _kernel(nvalid_ref, obj_ref, text_ref, max_ref, arg_ref, acc_max, acc_arg):
+    """Grid: (A_tiles, C_tiles). C is the minor (fastest) grid dim, so the
+    running max in VMEM scratch accumulates across C tiles for one A tile
+    before the outputs are written."""
+    ci = pl.program_id(1)
+    nc = pl.num_programs(1)
+    tile_c = text_ref.shape[0]
+
+    @pl.when(ci == 0)
+    def _init():
+        acc_max[:] = jnp.full_like(acc_max, NEG)
+        acc_arg[:] = jnp.zeros_like(acc_arg)
+
+    # (TILE_A, E) @ (E, TILE_C) on the MXU
+    scores = jax.lax.dot_general(
+        obj_ref[:], text_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (TILE_A, TILE_C)
+
+    # mask class columns beyond the valid vocabulary
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + ci * tile_c
+    scores = jnp.where(col < nvalid_ref[0], scores, NEG)
+
+    tile_max = jnp.max(scores, axis=1)
+    tile_arg = jnp.argmax(scores, axis=1).astype(jnp.int32) + ci * tile_c
+
+    better = tile_max > acc_max[:, 0]
+    acc_max[:, 0] = jnp.where(better, tile_max, acc_max[:, 0])
+    acc_arg[:, 0] = jnp.where(better, tile_arg, acc_arg[:, 0])
+
+    @pl.when(ci == nc - 1)
+    def _write():
+        max_ref[:] = acc_max[:]
+        arg_ref[:] = acc_arg[:]
+
+
+def _pad_to(x: jax.Array, size: int, axis: int, value=0.0) -> jax.Array:
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('tile_a', 'tile_c', 'interpret'))
+def fused_similarity_argmax(obj: jax.Array, text: jax.Array,
+                            num_valid: Optional[jax.Array] = None,
+                            tile_a: int = 512, tile_c: int = 256,
+                            interpret: Optional[bool] = None
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """obj (A, E) L2-normalized, text (C, E) L2-normalized ->
+    (scores (A,), class_ids (A,)) without materializing (A, C).
+
+    num_valid: optional scalar int; classes >= num_valid are masked.
+    interpret: None = auto (interpreter off-TPU so the kernel runs anywhere).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    A, E = obj.shape
+    C = text.shape[0]
+    Ap = -(-A // tile_a) * tile_a
+    Cp = -(-C // tile_c) * tile_c
+    # keep the input dtype (bf16 halves HBM traffic and doubles MXU rate;
+    # the dot still accumulates fp32 via preferred_element_type)
+    obj_p = _pad_to(obj, Ap, 0)
+    text_p = _pad_to(text, Cp, 0)
+    nvalid = jnp.asarray(
+        [C if num_valid is None else num_valid], jnp.int32)
+
+    grid = (Ap // tile_a, Cp // tile_c)
+    out_max, out_arg = pl.pallas_call(
+        _kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile_a, E), lambda a, c, nv: (a, 0)),
+                pl.BlockSpec((tile_c, E), lambda a, c, nv: (c, 0)),
+            ],
+            out_specs=[
+                # 2-D (A, 1) outputs: 1-D outputs trip XLA-vs-Mosaic
+                # tiled-layout mismatches on real TPUs
+                pl.BlockSpec((tile_a, 1), lambda a, c, nv: (a, 0)),
+                pl.BlockSpec((tile_a, 1), lambda a, c, nv: (a, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tile_a, 1), jnp.float32),
+                pltpu.VMEM((tile_a, 1), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((Ap, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Ap, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(nvalid, obj_p, text_p)
+    return out_max[:A, 0], out_arg[:A, 0]
+
+
+def similarity_argmax_reference(obj: jax.Array, text: jax.Array,
+                                num_valid: Optional[jax.Array] = None
+                                ) -> Tuple[jax.Array, jax.Array]:
+    """Plain-XLA equivalent (materializes (A, C)); used as the fallback on
+    non-TPU backends and as the test oracle."""
+    sim = obj.astype(jnp.float32) @ text.astype(jnp.float32).T
+    if num_valid is not None:
+        col = jnp.arange(sim.shape[1])[None, :]
+        sim = jnp.where(col < num_valid, sim, NEG)
+    return jnp.max(sim, axis=1), jnp.argmax(sim, axis=1).astype(jnp.int32)
