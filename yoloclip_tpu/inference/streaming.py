@@ -50,9 +50,12 @@ class StreamingDetector:
         topk, max_det = self.cfg.nms_topk, self.cfg.max_detections
         fh, fw = frame_hw
 
+        fused = (getattr(self.cfg, 'fused_similarity', True)
+                 and jax.default_backend() == 'tpu')
+
         def _step(variables, frames, text):
             canvases, scale = letterbox_batch(frames, target)
-            out = model.apply(variables, canvases, text)
+            out = model.apply(variables, canvases, text, fused_scores=fused)
             boxes = rescale_boxes(out['boxes'], scale, (fh, fw))
             return batched_nms(boxes, out['scores'],
                                out['class_ids'], conf, iou,
