@@ -249,9 +249,30 @@ def bench_train_step(batch=64, classes=80, max_objects=100):
     emit(f'train_step_bs{batch}_time', dt * 1000, 'ms/step', None)
 
 
+def bench_peak_throughput(batch=128):
+    """Saturation point: same pipeline at large batch. The BASELINE contract
+    is bs=32 (config 2); this shows the chip's headroom when serving can
+    batch deeper (narrow-channel convs fill the VPU better at larger B)."""
+    from yoloclip_tpu.ops.nms import batched_nms
+    model, variables, text = _model()
+    images = jax.random.uniform(jax.random.PRNGKey(1),
+                                (batch, 640, 640, 3),
+                                jnp.float32).astype(jnp.bfloat16)
+    fused = jax.default_backend() == 'tpu'
+
+    @jax.jit
+    def pipeline(variables, images, text):
+        out = model.apply(variables, images, text, fused_scores=fused)
+        return batched_nms(out['boxes'], out['scores'], out['class_ids'],
+                           0.25, 0.45, topk=1024, max_detections=300)
+
+    dt = _throughput_time(pipeline, variables, images, text, iters=5)
+    emit(f'peak_bs{batch}_throughput', batch / dt, 'images/sec/chip', 400)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--configs', default='1,2,3,4,5,6')
+    ap.add_argument('--configs', default='1,2,3,4,5,6,7')
     args = ap.parse_args()
     wanted = set(args.configs.split(','))
     if '1' in wanted:
@@ -266,6 +287,8 @@ def main():
         bench_streaming()
     if '6' in wanted:
         bench_train_step()
+    if '7' in wanted:
+        bench_peak_throughput()
 
 
 if __name__ == '__main__':

@@ -35,6 +35,14 @@ import numpy as np
 
 
 def _imread_rgb(path: str) -> np.ndarray:
+    # native C++ decoder first (yoloclip_tpu/native): byte-identical to
+    # cv2 for JPEG/PNG and thread-pool friendly; cv2 / PIL as fallbacks
+    from yoloclip_tpu import native
+    if native.available():
+        try:
+            return native.decode_image(path)
+        except ValueError:
+            pass  # unusual format (bmp/tiff/...): fall through to cv2/PIL
     try:
         import cv2
         img = cv2.imread(path)

@@ -223,12 +223,5 @@ class YOLOCLIPDetector:
 
 
 def _imread_rgb(path: str) -> np.ndarray:
-    try:
-        import cv2
-        img = cv2.imread(path)
-        if img is None:
-            raise FileNotFoundError(path)
-        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-    except ImportError:
-        from PIL import Image
-        return np.asarray(Image.open(path).convert('RGB'))
+    from yoloclip_tpu.data.coco import _imread_rgb as read
+    return read(path)
