@@ -121,6 +121,29 @@ def inspect_dataset(anno: str, img_dir: str, class_names: List[str],
           f'prompts ragged: {[len(p) for p in batch["text_prompts"]]}')
 
 
+def smoke() -> int:
+    """Environment sanity check (the reference's root `test.py:1-17`
+    checked CUDA + CLIP load; this checks the JAX backend, a device op,
+    the text tokenizer, and the native loader)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yoloclip_tpu import native
+    from yoloclip_tpu.text.tokenizer import default_tokenizer
+
+    print(f'jax {jax.__version__}, backend {jax.default_backend()}, '
+          f'{len(jax.devices())} device(s): {jax.devices()[0].platform}')
+    x = jnp.arange(8.0)
+    assert float(jax.jit(lambda a: (a * 2).sum())(x)) == 56.0
+    print('device op: OK')
+    tok = default_tokenizer()
+    ids = tok.tokenize(['a photo of a cat'])
+    print(f'tokenizer: OK ({ids.shape})')
+    print(f'native dataload: {"available" if native.available() else "FALLBACK (cv2/PIL)"}')
+    print('SMOKE OK')
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     logging.basicConfig(level=logging.INFO)
     ap = argparse.ArgumentParser(description='YOLO-CLIP TPU inspector')
@@ -128,7 +151,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument('--image-size', type=int, default=640)
     ap.add_argument('--anno', default=None)
     ap.add_argument('--img-dir', default=None)
+    ap.add_argument('--smoke', action='store_true',
+                    help='environment sanity check only (ref test.py)')
     args = ap.parse_args(argv)
+
+    if args.smoke:
+        return smoke()
 
     ctx = inspect_model(args.variant, args.image_size)
     inspect_loss(ctx)

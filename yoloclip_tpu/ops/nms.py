@@ -83,6 +83,25 @@ def _fixpoint_keep(iou: jax.Array, valid: jax.Array,
     return keep
 
 
+def _resolve_method(method: str) -> str:
+    """'auto' -> Pallas on-chip kernel on TPU, XLA fixpoint elsewhere."""
+    if method == 'auto':
+        return 'pallas' if jax.default_backend() == 'tpu' else 'fixpoint'
+    return method
+
+
+def _batched_keep(top_boxes: jax.Array, valid: jax.Array,
+                  iou_threshold, method: str) -> jax.Array:
+    """(B, K, 4) score-sorted candidates -> (B, K) keep mask."""
+    if method == 'pallas':
+        from yoloclip_tpu.ops.pallas.nms import nms_keep_pallas
+        return nms_keep_pallas(top_boxes, valid, iou_threshold)
+    keep_fn = _fixpoint_keep if method == 'fixpoint' else _greedy_keep
+    return jax.vmap(
+        lambda b, v: keep_fn(pairwise_iou(b, b), v, iou_threshold)
+    )(top_boxes, valid)
+
+
 @functools.partial(jax.jit,
                    static_argnames=('topk', 'max_detections', 'method'))
 def nms_fixed(boxes: jax.Array, scores: jax.Array,
@@ -90,50 +109,57 @@ def nms_fixed(boxes: jax.Array, scores: jax.Array,
               iou_threshold: float | jax.Array = 0.45,
               topk: int = 1024, max_detections: int = 300,
               class_ids: jax.Array | None = None,
-              method: str = 'fixpoint') -> Dict[str, jax.Array]:
+              method: str = 'auto') -> Dict[str, jax.Array]:
     """Single-image NMS with fixed output shapes.
 
     boxes: (A, 4) xyxy; scores: (A,); class_ids: (A,) optional.
     Returns dict with boxes (D,4), scores (D,), class_ids (D,), valid (D,)
     and count () where D = max_detections, entries sorted by score desc.
     """
-    A = scores.shape[0]
+    out = batched_nms(boxes[None], scores[None],
+                      None if class_ids is None else class_ids[None],
+                      conf_threshold, iou_threshold, topk,
+                      max_detections, method)
+    return jax.tree_util.tree_map(lambda x: x[0], out)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('topk', 'max_detections', 'method'))
+def batched_nms(boxes: jax.Array, scores: jax.Array,
+                class_ids: jax.Array | None,
+                conf_threshold: float | jax.Array = 0.25,
+                iou_threshold: float | jax.Array = 0.45,
+                topk: int = 1024,
+                max_detections: int = 300,
+                method: str = 'auto') -> Dict[str, jax.Array]:
+    """Batched NMS: boxes (B,A,4), scores (B,A), ids (B,A) or None."""
+    method = _resolve_method(method)
+    B, A = scores.shape
     K = min(topk, A)
     scores_f = jnp.where(scores > conf_threshold,
                          scores.astype(jnp.float32), NEG_INF)
-    top_scores, top_idx = jax.lax.top_k(scores_f, K)
-    top_boxes = boxes[top_idx].astype(jnp.float32)
+    top_scores, top_idx = jax.lax.top_k(scores_f, K)          # (B, K)
+    top_boxes = jnp.take_along_axis(
+        boxes.astype(jnp.float32), top_idx[..., None], axis=1)
     valid = top_scores > NEG_INF / 2
 
-    iou = pairwise_iou(top_boxes, top_boxes)
-    keep_fn = _fixpoint_keep if method == 'fixpoint' else _greedy_keep
-    keep = keep_fn(iou, valid, iou_threshold)
+    keep = _batched_keep(top_boxes, valid, iou_threshold, method)
 
     D = min(max_detections, K)
     kept_scores = jnp.where(keep, top_scores, NEG_INF)
-    out_scores, sel = jax.lax.top_k(kept_scores, D)
+    out_scores, sel = jax.lax.top_k(kept_scores, D)           # (B, D)
     out_valid = out_scores > NEG_INF / 2
-    out_boxes = jnp.where(out_valid[:, None], top_boxes[sel], 0.0)
+    out_boxes = jnp.where(out_valid[..., None],
+                          jnp.take_along_axis(top_boxes, sel[..., None],
+                                              axis=1), 0.0)
     out = {
         'boxes': out_boxes,
         'scores': jnp.where(out_valid, out_scores, 0.0),
         'valid': out_valid,
-        'count': jnp.sum(out_valid.astype(jnp.int32)),
+        'count': jnp.sum(out_valid.astype(jnp.int32), axis=-1),
     }
     if class_ids is not None:
-        top_cls = class_ids[top_idx]
-        out['class_ids'] = jnp.where(out_valid, top_cls[sel], -1)
+        top_cls = jnp.take_along_axis(class_ids, top_idx, axis=1)
+        out['class_ids'] = jnp.where(
+            out_valid, jnp.take_along_axis(top_cls, sel, axis=1), -1)
     return out
-
-
-@functools.partial(jax.jit, static_argnames=('topk', 'max_detections'))
-def batched_nms(boxes: jax.Array, scores: jax.Array,
-                class_ids: jax.Array,
-                conf_threshold: float | jax.Array = 0.25,
-                iou_threshold: float | jax.Array = 0.45,
-                topk: int = 1024,
-                max_detections: int = 300) -> Dict[str, jax.Array]:
-    """vmapped NMS over a batch: boxes (B,A,4), scores (B,A), ids (B,A)."""
-    fn = lambda b, s, c: nms_fixed(
-        b, s, conf_threshold, iou_threshold, topk, max_detections, c)
-    return jax.vmap(fn)(boxes, scores, class_ids)
