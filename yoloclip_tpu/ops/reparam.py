@@ -30,18 +30,24 @@ import jax.numpy as jnp
 
 
 def build_reparam_forward(model, variables, vocabulary: jax.Array,
-                          class_mask: Optional[jax.Array] = None) -> Callable:
+                          class_mask: Optional[jax.Array] = None,
+                          fused_scores: Optional[bool] = None) -> Callable:
     """Returns jitted `fn(images) -> output dict` with the vocabulary and
     weights baked in as compile-time constants.
 
     model: YOLOCLIP module; vocabulary: (C, E) offline text matrix.
+    fused_scores: None = auto (Pallas streaming-max scoring on TPU).
     """
     vocab_const = jnp.asarray(vocabulary)
     mask_const = None if class_mask is None else jnp.asarray(class_mask)
+    if fused_scores is None:
+        fused_scores = (jax.default_backend() == 'tpu'
+                        and class_mask is None)
 
     @jax.jit
     def forward(images: jax.Array) -> Dict[str, jax.Array]:
         return model.apply(variables, images, vocab_const,
-                           class_mask=mask_const, skip_image_pool=True)
+                           class_mask=mask_const, skip_image_pool=True,
+                           fused_scores=fused_scores)
 
     return forward
