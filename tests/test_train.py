@@ -193,3 +193,46 @@ def test_sharded_matches_single_chip(state_and_batch):
         _, parts_sharded = step(state_r, b, t)
     assert float(parts_sharded['loss']) == pytest.approx(
         float(parts_single['loss']), rel=2e-4)
+
+
+def test_opt_state_checkpoint_roundtrip(state_and_batch, tmp_path):
+    """Resume must restore AdamW momenta (the reference checkpoints
+    optimizer state too, `train/trainer.py:450-463`)."""
+    from yoloclip_tpu.utils.checkpoint import (load_checkpoint,
+                                               restore_opt_state,
+                                               save_checkpoint)
+    cfg, state, batch, text = state_and_batch
+    step = jax.jit(make_train_step(cfg))
+    s = state
+    for _ in range(3):
+        s, _ = step(s, batch, text)
+
+    path = str(tmp_path / 'ckpt')
+    save_checkpoint(path, s.variables, opt_state=s.opt_state,
+                    step=int(s.step))
+    ckpt = load_checkpoint(path)
+    restored = restore_opt_state(ckpt, state.opt_state)
+
+    want = jax.tree_util.tree_leaves(s.opt_state)
+    got = jax.tree_util.tree_leaves(restored)
+    assert len(want) == len(got)
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # momenta really differ from the fresh state (i.e. the test is live)
+    fresh = jax.tree_util.tree_leaves(state.opt_state)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(fresh, got))
+
+
+def test_eval_step_with_nms(state_and_batch):
+    """eval_with_nms produces NMS'd detections with -1 invalid markers."""
+    from yoloclip_tpu.train.train_state import make_eval_step
+    cfg, state, batch, text = state_and_batch
+    cfg_nms = small_cfg(eval_with_nms=True, eval_conf_threshold=-10.0)
+    parts, preds = jax.jit(make_eval_step(cfg_nms))(state, batch, text)
+    M = cfg_nms.max_objects
+    assert preds['boxes'].shape == (2, M, 4)
+    assert preds['class_ids'].shape == (2, M)
+    assert np.isfinite(float(parts['loss']))
+    cids = np.asarray(preds['class_ids'])
+    assert ((cids >= -1) & (cids < 8)).all()

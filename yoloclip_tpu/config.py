@@ -141,6 +141,14 @@ class TrainingConfig:
     seed: int = 42
     # TPU rebuild knobs:
     data_parallel: int = 1         # number of mesh shards on the 'data' axis
+    # Evaluation: the reference scores raw top-max_objects anchors with no
+    # NMS or confidence filter (`train/trainer.py:293-309`, SURVEY §3.5) --
+    # that is the default for behavior parity. eval_with_nms=True instead
+    # evaluates real detections (conf filter + class-agnostic NMS), the
+    # COCO-comparable number.
+    eval_with_nms: bool = False
+    eval_conf_threshold: float = 0.25
+    eval_iou_threshold: float = 0.45
 
     def loss_weight(self, key: str) -> float:
         return dict(self.loss_weights)[key]

@@ -160,7 +160,9 @@ def make_eval_step(cfg: TrainingConfig):
 
     Mirrors `trainer.py:257-309`: losses without the dfl term, plus raw
     top-max_objects predictions for the evaluator (no NMS -- reference
-    behavior)."""
+    behavior). With cfg.eval_with_nms the predictions are instead real
+    detections (conf filter + class-agnostic NMS; invalid slots get
+    class_id -1, which the evaluator never matches)."""
     weights = dict(cfg.loss_weights)
     M = cfg.max_objects
 
@@ -172,11 +174,22 @@ def make_eval_step(cfg: TrainingConfig):
             outputs, batch, weights, temperature=cfg.temperature,
             iou_type=cfg.iou_type, label_smoothing=cfg.label_smoothing)
         parts = {k: v for k, v in parts.items() if k != 'dfl_loss'}
-        preds = {
-            'boxes': outputs['boxes'][:, :M],
-            'scores': outputs['scores'][:, :M],
-            'class_ids': outputs['class_ids'][:, :M],
-        }
+        if cfg.eval_with_nms:
+            from yoloclip_tpu.ops.nms import batched_nms
+            det = batched_nms(outputs['boxes'], outputs['scores'],
+                              outputs['class_ids'],
+                              cfg.eval_conf_threshold,
+                              cfg.eval_iou_threshold,
+                              topk=min(1024, outputs['scores'].shape[1]),
+                              max_detections=M)
+            preds = {'boxes': det['boxes'], 'scores': det['scores'],
+                     'class_ids': det['class_ids']}
+        else:
+            preds = {
+                'boxes': outputs['boxes'][:, :M],
+                'scores': outputs['scores'][:, :M],
+                'class_ids': outputs['class_ids'][:, :M],
+            }
         return parts, preds
 
     return eval_step

@@ -212,16 +212,18 @@ class YOLOCLIPTrainer:
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:
         save_checkpoint(path, self.state.variables,
-                        opt_state=None,   # opt_state restore TBD (non-pytree tx)
+                        opt_state=self.state.opt_state,
                         step=int(self.state.step),
                         metadata={'best_map': self.best_map})
         logger.info('Checkpoint saved to %s', path)
 
     def load(self, path: str) -> None:
+        from yoloclip_tpu.utils.checkpoint import restore_opt_state
         ckpt = load_checkpoint(path)
         v = ckpt['variables']
         self.state = self.state.replace(
             params=v['params'], batch_stats=v.get('batch_stats', {}),
+            opt_state=restore_opt_state(ckpt, self.state.opt_state),
             step=jnp.asarray(ckpt.get('step', 0), jnp.int32))
         meta = ckpt.get('metadata') or {}
         self.best_map = meta.get('best_map', 0.0)

@@ -31,13 +31,37 @@ def save_checkpoint(path: str, variables, opt_state=None, step: int = 0,
     os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
     state = {'variables': _to_host(variables), 'step': step}
     if opt_state is not None:
-        state['opt_state'] = _to_host(opt_state)
+        # optax states are pytrees of namedtuples; store the leaves flat
+        # and rebuild against the live treedef on restore (the structure
+        # is determined by the optimizer config, not the checkpoint).
+        leaves = jax.tree_util.tree_leaves(opt_state)
+        state['opt_leaves'] = {f'{i:04d}': np.asarray(x)
+                               for i, x in enumerate(leaves)}
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.join(path, 'state'), state, force=True)
     ckptr.wait_until_finished()
     if metadata:
         with open(os.path.join(path, 'metadata.json'), 'w') as f:
             json.dump(metadata, f)
+
+
+def restore_opt_state(ckpt: Dict[str, Any], template):
+    """Rebuild an optimizer state pytree from a loaded checkpoint.
+
+    template: a live opt_state with the target structure (from the
+    current optimizer). Returns template unchanged if the checkpoint
+    carries no optimizer state (e.g. inference-only exports).
+    """
+    leaves_dict = ckpt.get('opt_leaves')
+    if not leaves_dict:
+        return template
+    leaves = [leaves_dict[k] for k in sorted(leaves_dict)]
+    treedef = jax.tree_util.tree_structure(template)
+    if treedef.num_leaves != len(leaves):
+        raise ValueError(
+            f'optimizer state mismatch: checkpoint has {len(leaves)} '
+            f'leaves, current optimizer expects {treedef.num_leaves}')
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
