@@ -12,16 +12,14 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import time
 
 import jax
 import jax.numpy as jnp
 
-jax.config.update('jax_compilation_cache_dir',
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               '.jax_cache'))
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
+from yoloclip_tpu.utils.general import enable_compile_cache
+
+enable_compile_cache()
 
 
 def build(batch_size: int, num_classes: int, image_size: int, dtype: str):

@@ -25,12 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Persistent compile cache: first full-model compile over the remote-TPU
-# tunnel takes minutes; cached runs start in seconds.
-jax.config.update('jax_compilation_cache_dir',
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), '.jax_cache'))
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
+from yoloclip_tpu.utils.general import enable_compile_cache
+
+enable_compile_cache()
 
 
 def _model(image_size=640, dtype='bfloat16', num_classes=80):
@@ -45,20 +42,6 @@ def _model(image_size=640, dtype='bfloat16', num_classes=80):
     variables = model.init(rng, jnp.zeros((1, image_size, image_size, 3)),
                            text)
     return model, variables, text
-
-
-def _time(fn, *args, iters=20, warmup=3):
-    """Per-call blocking times (latency measurement)."""
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return np.asarray(times)
 
 
 def _sync(out):

@@ -137,18 +137,23 @@ def test_composite_model_jits_and_batches():
 
 def test_composite_model_fused_scores_matches_einsum():
     """fused_scores=True (Pallas streaming max) must reproduce the einsum
-    path's scores/class_ids exactly on a shared vocabulary."""
+    path's scores/class_ids for EVERY batch element. Images are distinct
+    per element so the I-Pooling-updated text embeddings differ per image
+    -- scoring any element against another's text must fail this test."""
     cfg = ModelConfig(image_size=(160, 160))
     model = YOLOCLIP(cfg)
-    images = jax.random.uniform(KEY, (2, 160, 160, 3))
+    images = jax.random.uniform(KEY, (3, 160, 160, 3))
     text = jax.random.normal(KEY, (7, 512))
     variables = model.init(KEY, images, text)
     ref = model.apply(variables, images, text)
     got = model.apply(variables, images, text, fused_scores=True)
     assert 'similarity' not in got
-    # accumulation-order fp32 noise only (~2.5e-5 max on the cosine scale)
+    # per-image text really varies (otherwise the test proves nothing)
+    t = np.asarray(ref['text_embeddings'])
+    assert np.abs(t[0] - t[1]).max() > 0
+    # accumulation-order fp32 noise only on the cosine scale
     np.testing.assert_allclose(np.asarray(got['scores']),
                                np.asarray(ref['scores']),
-                               rtol=1e-4, atol=1e-4)
+                               rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(got['class_ids']),
                                   np.asarray(ref['class_ids']))

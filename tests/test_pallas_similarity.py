@@ -39,3 +39,24 @@ def test_fused_masks_invalid_classes():
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
                                rtol=1e-5)
+
+
+def test_fused_batched_per_image_text():
+    """(B, A, E) obj against per-image (B, C, E) text: each batch element
+    must be scored against ITS OWN text matrix."""
+    rng = np.random.RandomState(2)
+    B, A, C, E = 3, 300, 40, 64
+    obj = jnp.asarray(normed(rng, (B, A, E)))
+    text = jnp.asarray(normed(rng, (B, C, E)))
+    got_s, got_i = fused_similarity_argmax(obj, text, tile_a=128,
+                                           tile_c=64, interpret=True)
+    assert got_s.shape == (B, A) and got_i.shape == (B, A)
+    for b in range(B):
+        want_s, want_i = similarity_argmax_reference(obj[b], text[b])
+        np.testing.assert_allclose(np.asarray(got_s[b]),
+                                   np.asarray(want_s), rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(got_i[b]),
+                                      np.asarray(want_i))
+    # cross-check: element 1 scored against text[0] would NOT match
+    alt_s, _ = similarity_argmax_reference(obj[1], text[0])
+    assert np.abs(np.asarray(alt_s) - np.asarray(got_s[1])).max() > 1e-3

@@ -186,7 +186,11 @@ def test_sharded_matches_single_chip(state_and_batch):
 
     mesh = create_mesh(n_data=2, n_model=2)
     with mesh:
-        state_r = replicate_state(state, mesh)
+        # own copy: the sharded step donates its state arg, and on the CPU
+        # backend device_put can alias the fixture's buffers zero-copy --
+        # donating those would delete `state` for later tests
+        state_r = replicate_state(
+            jax.tree_util.tree_map(jnp.copy, state), mesh)
         step = make_sharded_train_step(cfg, mesh)(state_r)
         b = place_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
         t = place_text(np.asarray(text), mesh)

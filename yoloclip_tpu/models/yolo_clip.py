@@ -59,10 +59,10 @@ class YOLOCLIP(nn.Module):
         dt = jnp.bfloat16 if cfg.dtype == 'bfloat16' else jnp.float32
         B = images.shape[0]
 
-        shared_text = text_embeddings.ndim == 2
-        use_fused = (fused_scores and shared_text and class_mask is None
-                     and cfg.cls_alpha >= 0)
-        if shared_text:                 # offline vocab broadcast, ref :121-123
+        # alpha > 0 strictly: argmax(alpha*s+beta) == argmax(s) needs it
+        use_fused = (fused_scores and class_mask is None
+                     and cfg.cls_alpha > 0)
+        if text_embeddings.ndim == 2:   # offline vocab broadcast, ref :121-123
             text_embeddings = jnp.broadcast_to(
                 text_embeddings[None], (B,) + text_embeddings.shape)
         if class_mask is not None and class_mask.ndim == 1:
@@ -104,16 +104,16 @@ class YOLOCLIP(nn.Module):
         if use_fused:
             from yoloclip_tpu.ops.pallas.similarity import (
                 fused_similarity_argmax)
-            A = obj_embeddings.shape[1]
             obj_n = obj_embeddings / jnp.maximum(jnp.linalg.norm(
                 obj_embeddings, axis=-1, keepdims=True), 1e-12)
-            txt = text_embeddings[0].astype(jnp.float32)     # shared vocab
+            # per-image text: I-Pooling makes text embeddings image-
+            # dependent, so the kernel batches over B (never text[0])
+            txt = text_embeddings.astype(jnp.float32)
             txt_n = txt / jnp.maximum(jnp.linalg.norm(
                 txt, axis=-1, keepdims=True), 1e-12)
-            s, ids = fused_similarity_argmax(
-                obj_n.reshape(B * A, -1).astype(dt), txt_n.astype(dt))
-            scores = (cfg.cls_alpha * s + cfg.cls_beta).reshape(B, A)
-            class_ids = ids.reshape(B, A)
+            s, class_ids = fused_similarity_argmax(
+                obj_n.astype(dt), txt_n.astype(dt))
+            scores = cfg.cls_alpha * s + cfg.cls_beta
             similarity = None
         else:
             similarity = jnp.concatenate(sims, axis=1)      # (B, A, C)

@@ -53,9 +53,11 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         _tried = True
         src = os.path.join(_DIR, 'dataload.cpp')
+        have_src = os.path.exists(src)   # prebuilt .so may ship w/o source
         if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(src)):
-            if not _build():
+                or (have_src
+                    and os.path.getmtime(_SO) < os.path.getmtime(src))):
+            if not have_src or not _build():
                 return None
         try:
             lib = ctypes.CDLL(_SO)

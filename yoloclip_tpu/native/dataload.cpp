@@ -202,8 +202,11 @@ void resize_bilinear_u8(const uint8_t* src, int h, int w,
 
 float letterbox_impl(const uint8_t* src, int h, int w,
                      uint8_t* canvas, int th, int tw) {
-    const float scale = std::min(static_cast<float>(th) / h,
-                                 static_cast<float>(tw) / w);
+    // double precision: Python's int(h * scale) truncates a float64
+    // product, and float32 rounding can land on the other side of the
+    // integer boundary for sizes where h*scale is (near-)integral
+    const double scale = std::min(static_cast<double>(th) / h,
+                                  static_cast<double>(tw) / w);
     const int rh = static_cast<int>(h * scale);   // int() floor, ref math
     const int rw = static_cast<int>(w * scale);
     std::vector<uint8_t> resized(static_cast<size_t>(rh) * rw * 3);
@@ -213,7 +216,7 @@ float letterbox_impl(const uint8_t* src, int h, int w,
                resized.data() + static_cast<size_t>(y) * rw * 3,
                static_cast<size_t>(rw) * 3);
     }
-    return scale;
+    return static_cast<float>(scale);
 }
 
 std::vector<uint8_t> read_file(const char* path) {

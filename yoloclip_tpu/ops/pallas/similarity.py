@@ -33,12 +33,12 @@ NEG = -1e30  # python float: jnp scalars would be captured consts in pallas
 
 
 def _kernel(nvalid_ref, obj_ref, text_ref, max_ref, arg_ref, acc_max, acc_arg):
-    """Grid: (A_tiles, C_tiles). C is the minor (fastest) grid dim, so the
-    running max in VMEM scratch accumulates across C tiles for one A tile
-    before the outputs are written."""
-    ci = pl.program_id(1)
-    nc = pl.num_programs(1)
-    tile_c = text_ref.shape[0]
+    """Grid: (B, A_tiles, C_tiles). C is the minor (fastest) grid dim, so
+    the running max in VMEM scratch accumulates across C tiles for one
+    (batch, A tile) before the outputs are written."""
+    ci = pl.program_id(2)
+    nc = pl.num_programs(2)
+    tile_c = text_ref.shape[1]
 
     @pl.when(ci == 0)
     def _init():
@@ -47,7 +47,7 @@ def _kernel(nvalid_ref, obj_ref, text_ref, max_ref, arg_ref, acc_max, acc_arg):
 
     # (TILE_A, E) @ (E, TILE_C) on the MXU
     scores = jax.lax.dot_general(
-        obj_ref[:], text_ref[:],
+        obj_ref[0], text_ref[0],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)          # (TILE_A, TILE_C)
 
@@ -64,8 +64,8 @@ def _kernel(nvalid_ref, obj_ref, text_ref, max_ref, arg_ref, acc_max, acc_arg):
 
     @pl.when(ci == nc - 1)
     def _write():
-        max_ref[:] = acc_max[:]
-        arg_ref[:] = acc_arg[:]
+        max_ref[0] = acc_max[:]
+        arg_ref[0] = acc_arg[:]
 
 
 def _pad_to(x: jax.Array, size: int, axis: int, value=0.0) -> jax.Array:
@@ -84,40 +84,49 @@ def fused_similarity_argmax(obj: jax.Array, text: jax.Array,
                             tile_a: int = 512, tile_c: int = 256,
                             interpret: Optional[bool] = None
                             ) -> Tuple[jax.Array, jax.Array]:
-    """obj (A, E) L2-normalized, text (C, E) L2-normalized ->
-    (scores (A,), class_ids (A,)) without materializing (A, C).
+    """obj (A, E) or (B, A, E) L2-normalized, text (C, E) or (B, C, E)
+    L2-normalized -> (scores, class_ids) of shape (A,) / (B, A) without
+    materializing the (..., A, C) similarity tensor.
 
-    num_valid: optional scalar int; classes >= num_valid are masked.
-    interpret: None = auto (interpreter off-TPU so the kernel runs anywhere).
+    Batched text is REQUIRED when text embeddings differ per image (e.g.
+    after I-Pooling attention); a shared (C, E) matrix with batched obj is
+    broadcast. num_valid: optional scalar int; classes >= num_valid are
+    masked. interpret: None = auto (interpreter off-TPU so the kernel runs
+    anywhere).
     """
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
-    A, E = obj.shape
-    C = text.shape[0]
+    squeeze = obj.ndim == 2
+    if squeeze:
+        obj = obj[None]
+    B, A, E = obj.shape
+    if text.ndim == 2:
+        text = jnp.broadcast_to(text[None], (B,) + text.shape)
+    C = text.shape[1]
     Ap = -(-A // tile_a) * tile_a
     Cp = -(-C // tile_c) * tile_c
     # keep the input dtype (bf16 halves HBM traffic and doubles MXU rate;
     # the dot still accumulates fp32 via preferred_element_type)
-    obj_p = _pad_to(obj, Ap, 0)
-    text_p = _pad_to(text, Cp, 0)
+    obj_p = _pad_to(obj, Ap, 1)
+    text_p = _pad_to(text, Cp, 1)
     nvalid = jnp.asarray(
         [C if num_valid is None else num_valid], jnp.int32)
 
-    grid = (Ap // tile_a, Cp // tile_c)
+    grid = (B, Ap // tile_a, Cp // tile_c)
     out_max, out_arg = pl.pallas_call(
         _kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((tile_a, E), lambda a, c, nv: (a, 0)),
-                pl.BlockSpec((tile_c, E), lambda a, c, nv: (c, 0)),
+                pl.BlockSpec((1, tile_a, E), lambda b, a, c, nv: (b, a, 0)),
+                pl.BlockSpec((1, tile_c, E), lambda b, a, c, nv: (b, c, 0)),
             ],
             out_specs=[
-                # 2-D (A, 1) outputs: 1-D outputs trip XLA-vs-Mosaic
+                # trailing dim of 1: 1-D outputs trip XLA-vs-Mosaic
                 # tiled-layout mismatches on real TPUs
-                pl.BlockSpec((tile_a, 1), lambda a, c, nv: (a, 0)),
-                pl.BlockSpec((tile_a, 1), lambda a, c, nv: (a, 0)),
+                pl.BlockSpec((1, tile_a, 1), lambda b, a, c, nv: (b, a, 0)),
+                pl.BlockSpec((1, tile_a, 1), lambda b, a, c, nv: (b, a, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((tile_a, 1), jnp.float32),
@@ -125,12 +134,15 @@ def fused_similarity_argmax(obj: jax.Array, text: jax.Array,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((Ap, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Ap, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, Ap, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, Ap, 1), jnp.int32),
         ],
         interpret=interpret,
     )(nvalid, obj_p, text_p)
-    return out_max[:A, 0], out_arg[:A, 0]
+    scores, ids = out_max[:, :A, 0], out_arg[:, :A, 0]
+    if squeeze:
+        return scores[0], ids[0]
+    return scores, ids
 
 
 def similarity_argmax_reference(obj: jax.Array, text: jax.Array,

@@ -91,6 +91,22 @@ class Timer:
         return False
 
 
+def enable_compile_cache(cache_dir: Optional[str] = None) -> None:
+    """Turn on JAX's persistent compilation cache.
+
+    First full-model compile on a remote/fresh TPU can take minutes; with
+    the cache, subsequent process starts reuse it. Default location:
+    <repo-or-install root>/.jax_cache.
+    """
+    import jax
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), '.jax_cache')
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
+
+
 def create_unique_output_dir(base_dir: str, prefix: str = 'run') -> str:
     """Create base/prefix_NNN with the first free index."""
     os.makedirs(base_dir, exist_ok=True)
