@@ -1,0 +1,109 @@
+"""Multi-stream real-time detection CLI (BASELINE config 5 surface).
+
+    # N synthetic 1080p streams, report fps:
+    python -m yoloclip_tpu.cli.stream --streams 8 --steps 50 --classes person,car
+
+    # real video files (one per stream, cv2 required):
+    python -m yoloclip_tpu.cli.stream --videos a.mp4,b.mp4 --classes person
+
+No reference equivalent (single-image only there); this fronts
+`yoloclip_tpu/inference/streaming.py` -- one jitted program per step over
+all streams (device letterbox -> forward -> batched NMS), frame
+acquisition double-buffered against device compute.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from typing import List, Optional
+
+import numpy as np
+
+logger = logging.getLogger('yoloclip_tpu.stream')
+
+
+def _synthetic_source(n_streams: int, hw):
+    rng = np.random.RandomState(0)
+    frame = (rng.rand(n_streams, hw[0], hw[1], 3) * 255).astype(np.uint8)
+
+    def source(step: int) -> Optional[np.ndarray]:
+        # cheap per-step variation without re-randomizing 50 MB
+        return np.roll(frame, step, axis=2)
+    return source
+
+
+def _video_source(paths: List[str], hw):
+    import cv2
+    caps = [cv2.VideoCapture(p) for p in paths]
+    for p, c in zip(paths, caps):
+        if not c.isOpened():
+            raise FileNotFoundError(p)
+
+    def source(step: int) -> Optional[np.ndarray]:
+        frames = []
+        for c in caps:
+            ok, f = c.read()
+            if not ok:
+                return None
+            f = cv2.cvtColor(f, cv2.COLOR_BGR2RGB)
+            if f.shape[:2] != hw:
+                f = cv2.resize(f, (hw[1], hw[0]))
+            frames.append(f)
+        return np.stack(frames)
+    return source
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    ap = argparse.ArgumentParser(description='YOLO-CLIP multi-stream demo')
+    ap.add_argument('--streams', type=int, default=8)
+    ap.add_argument('--steps', type=int, default=50)
+    ap.add_argument('--frame-size', default='1080x1920',
+                    help='HxW of the incoming frames')
+    ap.add_argument('--classes', default='person,car')
+    ap.add_argument('--videos', default=None,
+                    help='comma-separated video files (overrides --streams)')
+    ap.add_argument('--model', default=None, help='checkpoint dir')
+    ap.add_argument('--conf', type=float, default=0.25)
+    ap.add_argument('--text-checkpoint', default=None)
+    args = ap.parse_args(argv)
+
+    from yoloclip_tpu.config import InferenceConfig
+    from yoloclip_tpu.inference.detector import YOLOCLIPDetector
+    from yoloclip_tpu.inference.streaming import StreamingDetector
+
+    h, w = (int(x) for x in args.frame_size.split('x'))
+    class_names = [c.strip() for c in args.classes.split(',') if c.strip()]
+    cfg = InferenceConfig(conf_threshold=args.conf)
+
+    # reuse the detector for weights + vocabulary management
+    det = YOLOCLIPDetector(model_path=args.model, class_names=class_names,
+                           config=cfg, text_checkpoint=args.text_checkpoint)
+
+    if args.videos:
+        paths = args.videos.split(',')
+        n_streams = len(paths)
+        source = _video_source(paths, (h, w))
+    else:
+        n_streams = args.streams
+        source = _synthetic_source(n_streams, (h, w))
+
+    sd = StreamingDetector(det.variables, det.offline_vocabulary,
+                           n_streams, frame_hw=(h, w), config=cfg)
+    counts = []
+
+    def on_result(step, out):
+        counts.append(int(np.sum(out['count'])))
+
+    stats = sd.run(source, on_result, max_steps=args.steps)
+    logger.info('%d streams x %d steps: %.1f ms/step, %.1f fps/stream, '
+                'mean detections/step %.1f',
+                n_streams, stats['steps'], stats['mean_step_ms'],
+                stats['fps_per_stream'],
+                float(np.mean(counts)) if counts else 0.0)
+    return 0
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())
