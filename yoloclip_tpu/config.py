@@ -134,6 +134,10 @@ class TrainingConfig:
     # `loss/region_text_contrastive.py:66-82`); 'topk_center' is the clean
     # TAL-style center-distance assigner built fresh for this framework.
     assigner: str = 'compat'
+    # clean-mode score objective: 'bce' pushes assigned anchors above /
+    # background below the 0.25 deploy threshold (region_text_bce_loss);
+    # 'softmax' is the reference-style CE over labeled anchors only.
+    contrastive_type: str = 'bce'
     # optimizer
     optimizer_type: str = 'AdamW'
     lr_scheduler_type: str = 'OneCycleLR'

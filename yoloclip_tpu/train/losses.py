@@ -19,6 +19,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 
 
 def _l2norm(x: jax.Array, eps: float = 1e-12) -> jax.Array:
@@ -225,6 +226,36 @@ def soft_dfl_loss(pred_logits: jax.Array, target_cont: jax.Array,
     return jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
+def region_text_bce_loss(region_features: jax.Array,      # (B, A, E)
+                         text_embeddings: jax.Array,      # (B, C, E)
+                         labels: jax.Array,               # (B, A) int
+                         fg_mask: jax.Array,              # (B, A) bool
+                         temperature: float = 0.1,
+                         score_bias: float = 0.25) -> jax.Array:
+    """Per-class sigmoid BCE over ALL anchors (YOLO-World-style training).
+
+    The softmax-CE formulation (reference math) only shapes RELATIVE class
+    similarities of labeled anchors -- nothing pushes background anchors'
+    scores down, so a trained model fires on arbitrary background (the
+    reference has exactly this pathology, SURVEY bug #4). Here every
+    anchor gets a target: one-hot(class) for assigned anchors, all-zero
+    for background, with logits centered on `score_bias` -- the inference
+    confidence threshold on the raw-cosine scale (0.25) -- so foreground
+    is pushed above the deploy threshold and background below it.
+    Normalized by num_fg (YOLOv8 cls-loss convention).
+    """
+    region = _l2norm(region_features.astype(jnp.float32))
+    text = _l2norm(text_embeddings.astype(jnp.float32))
+    sim = jnp.einsum('bae,bce->bac', region, text,
+                     preferred_element_type=jnp.float32)
+    logits = (sim - score_bias) / temperature
+    C = text.shape[1]
+    tgt = (jax.nn.one_hot(labels, C, dtype=jnp.float32)
+           * fg_mask[..., None].astype(jnp.float32))
+    per = optax.sigmoid_binary_cross_entropy(logits, tgt)   # (B, A, C)
+    return jnp.sum(per) / jnp.maximum(jnp.sum(fg_mask), 1.0)
+
+
 def combined_loss_clean(outputs: Dict[str, jax.Array],
                         batch: Dict[str, jax.Array],
                         loss_weights: Dict[str, float],
@@ -234,14 +265,19 @@ def combined_loss_clean(outputs: Dict[str, jax.Array],
                         iou_type: str = 'ciou',
                         label_smoothing: float = 0.0,
                         topk_assign: int = 10,
-                        reg_max: int = 16
+                        reg_max: int = 16,
+                        contrastive_type: str = 'bce'
                         ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Clean training objective with real target assignment.
 
     No reference equivalent (the reference trains on an arbitrary anchor
     subset, SURVEY bug #4). All 8400 anchors participate: topk-center
-    assignment -> contrastive over foreground anchors, CIoU over assigned
-    boxes (foreground-normalized), REAL DFL on inverted decode targets.
+    assignment -> contrastive over anchors, CIoU over assigned boxes
+    (foreground-normalized), REAL DFL on inverted decode targets.
+
+    contrastive_type: 'bce' (default; fg pulled above / bg pushed below
+    the 0.25 deploy threshold -- see region_text_bce_loss) or 'softmax'
+    (reference-style CE over labeled anchors only; no bg suppression).
     """
     from yoloclip_tpu.train.assign import (assign_batch,
                                            dfl_targets_from_boxes)
@@ -251,9 +287,15 @@ def combined_loss_clean(outputs: Dict[str, jax.Array],
     fg = assigned['fg_mask']                                 # (B, A)
     labels = jnp.where(fg, assigned['cls_target'], 0)
 
-    cont = region_text_contrastive_loss(
-        outputs['obj_embeddings'], outputs['text_embeddings'], labels, fg,
-        temperature=temperature, topk=1, label_smoothing=label_smoothing)
+    if contrastive_type == 'bce':
+        cont = region_text_bce_loss(
+            outputs['obj_embeddings'], outputs['text_embeddings'],
+            labels, fg, temperature=temperature)
+    else:
+        cont = region_text_contrastive_loss(
+            outputs['obj_embeddings'], outputs['text_embeddings'],
+            labels, fg, temperature=temperature, topk=1,
+            label_smoothing=label_smoothing)
 
     _, iou_l = iou_family(outputs['boxes'].astype(jnp.float32),
                           assigned['box_target'].astype(jnp.float32),

@@ -129,7 +129,8 @@ def make_train_step(cfg: TrainingConfig):
                 outputs, batch, weights, anchors, anchor_strides,
                 temperature=cfg.temperature, iou_type=cfg.iou_type,
                 label_smoothing=cfg.label_smoothing,
-                reg_max=cfg.model.reg_max)
+                reg_max=cfg.model.reg_max,
+                contrastive_type=cfg.contrastive_type)
         return combined_loss_compat(
             outputs, batch, weights, temperature=cfg.temperature,
             iou_type=cfg.iou_type, label_smoothing=cfg.label_smoothing)
