@@ -59,3 +59,36 @@ def test_draw_detections(detector):
     dets = detector.detect(img)
     drawn = detector.draw_detections(img, dets)
     assert drawn.shape == img.shape
+
+
+def test_host_preprocess_matches_device_path(detector):
+    """host_preprocess=True (native/cv2 letterbox + shape-stable program)
+    must agree with the device-letterbox path (resize implementations
+    differ by ~1 intensity step, so boxes within a couple px)."""
+    det = detector
+    img = (np.random.RandomState(7).rand(120, 200, 3) * 255).astype(np.uint8)
+    base_hp = det.config.host_preprocess
+
+    object.__setattr__(det.config, 'host_preprocess', True)
+    det._shape_counts.clear()
+    host = det.detect(img)
+    object.__setattr__(det.config, 'host_preprocess', False)
+    det._shape_counts.clear()
+    dev = det.detect(img)
+    object.__setattr__(det.config, 'host_preprocess', base_hp)
+
+    assert len(host) == len(dev)
+    for a, b in zip(host, dev):
+        assert a['class_id'] == b['class_id']
+        assert abs(a['score'] - b['score']) < 5e-2
+        assert max(abs(x - y) for x, y in zip(a['box'], b['box'])) <= 3
+
+
+def test_detect_many_resolutions_single_compile(detector):
+    """'auto' serves novel resolutions through ONE shape-stable program."""
+    det = detector
+    rng = np.random.RandomState(3)
+    for hw in [(96, 130), (170, 110), (64, 200)]:
+        img = (rng.rand(*hw, 3) * 255).astype(np.uint8)
+        out = det.detect(img)   # must not error or hang on retrace
+        assert isinstance(out, list)

@@ -99,6 +99,11 @@ class InferenceConfig:
     nms_topk: int = 1024           # pre-NMS candidate pool (top-k by score)
     fused_similarity: bool = True  # Pallas streaming max/argmax kernel
     #   (auto-disabled off-TPU; the XLA einsum path is used instead)
+    # 'auto': host letterbox (native C++/cv2) for novel input resolutions
+    # -- one shape-stable device program, no per-resolution retrace --
+    # switching to the device-letterbox program once a resolution repeats
+    # (hot camera). True: always host. False: always device letterbox.
+    host_preprocess: Any = 'auto'
 
 
 @dataclass(frozen=True)

@@ -87,6 +87,11 @@ class YOLOCLIPDetector:
             self.set_offline_vocabulary(self.class_names)
 
         self._detect_fn = self._build_detect_fn()
+        self._detect_canvas_fn = self._build_detect_canvas_fn()
+        self._shape_counts: Dict = {}
+        # after this many detects at one resolution, 'auto' compiles the
+        # device-letterbox program for it (hot-camera amortization)
+        self._hot_shape_after = 3
 
     # ------------------------------------------------------------------
     # vocabulary management (ref `model/yolo_clip.py:225-263`)
@@ -135,6 +140,49 @@ class YOLOCLIPDetector:
 
         return run
 
+    def _build_detect_canvas_fn(self):
+        """Shape-stable variant: the host letterboxes (native C++/cv2) and
+        the device program takes a FIXED (th, tw, 3) uint8 canvas -- one
+        compilation serves every input resolution. The device-letterbox
+        path (`_detect_fn`) recompiles per unique input shape, which is
+        right for fixed-camera serving but wasteful for ad-hoc files.
+        """
+        model = self.model
+        topk = self.config.nms_topk
+        max_det = self.config.max_detections
+        fused = self._use_fused_similarity()
+
+        @jax.jit
+        def run(variables, canvas_u8, text_embeddings, scale, orig_wh,
+                conf_threshold, iou_threshold):
+            canvas = canvas_u8.astype(jnp.float32) / 255.0
+            out = model.apply(variables, canvas[None], text_embeddings,
+                              fused_scores=fused)
+            boxes = out['boxes'][0] / scale
+            hi = jnp.concatenate([orig_wh, orig_wh]).astype(boxes.dtype)
+            boxes = jnp.clip(boxes, jnp.zeros(4, boxes.dtype), hi)
+            return nms_fixed(boxes, out['scores'][0], conf_threshold,
+                             iou_threshold, topk=topk,
+                             max_detections=max_det,
+                             class_ids=out['class_ids'][0])
+
+        return run
+
+    def _host_letterbox(self, image: np.ndarray):
+        """uint8 (H, W, 3) -> (canvas uint8 (th, tw, 3), scale) on host."""
+        from yoloclip_tpu import native
+        image = np.asarray(image, np.uint8)
+        if native.available():
+            return native.letterbox_u8(image, self.image_size)
+        h, w = image.shape[:2]
+        th, tw = self.image_size
+        scale = min(th / h, tw / w)
+        rh, rw = int(h * scale), int(w * scale)
+        from yoloclip_tpu.data.coco import _resize
+        canvas = np.zeros((th, tw, 3), np.uint8)
+        canvas[:rh, :rw] = _resize(image, (rw, rh))
+        return canvas, float(scale)
+
     def preprocess_image(self, image: Union[str, np.ndarray]):
         """Host-side load only; resize/normalize happen on device.
 
@@ -166,9 +214,26 @@ class YOLOCLIPDetector:
             text = self.text_encoder(list(text_prompts))
             names = list(text_prompts)
 
-        out = self._detect_fn(self.variables, img, text, tuple(orig_hw),
-                              jnp.float32(self.conf_threshold),
-                              jnp.float32(self.iou_threshold))
+        key = tuple(int(x) for x in orig_hw)
+        self._shape_counts[key] = self._shape_counts.get(key, 0) + 1
+        hp = getattr(self.config, 'host_preprocess', 'auto')
+        use_host = (hp is True
+                    or (hp == 'auto'
+                        and self._shape_counts[key] <= self._hot_shape_after))
+        if use_host:
+            # shape-stable path: host letterbox (native C++/cv2), ONE
+            # device program for every input resolution (no retrace)
+            canvas, scale = self._host_letterbox(np.asarray(orig))
+            out = self._detect_canvas_fn(
+                self.variables, jnp.asarray(canvas), text,
+                jnp.float32(scale),
+                jnp.asarray([orig_hw[1], orig_hw[0]], jnp.float32),
+                jnp.float32(self.conf_threshold),
+                jnp.float32(self.iou_threshold))
+        else:
+            out = self._detect_fn(self.variables, img, text, tuple(orig_hw),
+                                  jnp.float32(self.conf_threshold),
+                                  jnp.float32(self.iou_threshold))
         n = int(out['count'])
         boxes = np.asarray(out['boxes'])[:n]
         scores = np.asarray(out['scores'])[:n]
