@@ -92,3 +92,44 @@ def test_detect_many_resolutions_single_compile(detector):
         img = (rng.rand(*hw, 3) * 255).astype(np.uint8)
         out = det.detect(img)   # must not error or hang on retrace
         assert isinstance(out, list)
+
+
+def test_detect_batch_matches_single(detector):
+    """Batched same-size detection agrees with the single-image device
+    path on counts/classes/boxes."""
+    det = detector
+    rng = np.random.RandomState(11)
+    imgs = (rng.rand(2, 140, 180, 3) * 255).astype(np.uint8)
+    out = det.detect_batch(imgs)
+    assert set(out) >= {'boxes', 'scores', 'class_ids', 'valid', 'count'}
+    B, D = out['scores'].shape
+    assert B == 2 and D == det.config.max_detections
+
+    base_hp = det.config.host_preprocess
+    object.__setattr__(det.config, 'host_preprocess', False)
+    det._shape_counts.clear()
+    try:
+        for b in range(2):
+            single = det.detect(imgs[b])
+            n = int(out['count'][b])
+            assert n == len(single)
+            for i, d in enumerate(single):
+                assert int(out['class_ids'][b][i]) == d['class_id']
+                got = np.asarray(out['boxes'][b][i])
+                assert np.abs(got - np.asarray(d['box'])).max() <= 1.5
+    finally:
+        object.__setattr__(det.config, 'host_preprocess', base_hp)
+
+
+def test_detector_offline_vocab_roundtrip(detector, tmp_path):
+    """set_offline_vocabulary(save_path=...) -> load_offline_vocabulary
+    restores the same class set and embedding matrix."""
+    det = detector
+    path = str(tmp_path / 'vocab.json')
+    names = list(det.class_names)
+    vocab_before = np.asarray(det.offline_vocabulary)
+    det.set_offline_vocabulary(names, save_path=path)
+    det.load_offline_vocabulary(path)
+    assert det.class_names == names
+    np.testing.assert_allclose(np.asarray(det.offline_vocabulary),
+                               vocab_before, rtol=1e-5, atol=1e-6)
