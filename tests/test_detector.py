@@ -69,13 +69,13 @@ def test_host_preprocess_matches_device_path(detector):
     img = (np.random.RandomState(7).rand(120, 200, 3) * 255).astype(np.uint8)
     base_hp = det.config.host_preprocess
 
-    object.__setattr__(det.config, 'host_preprocess', True)
-    det._shape_counts.clear()
-    host = det.detect(img)
-    object.__setattr__(det.config, 'host_preprocess', False)
-    det._shape_counts.clear()
-    dev = det.detect(img)
-    object.__setattr__(det.config, 'host_preprocess', base_hp)
+    try:
+        object.__setattr__(det.config, 'host_preprocess', True)
+        host = det.detect(img)
+        object.__setattr__(det.config, 'host_preprocess', False)
+        dev = det.detect(img)
+    finally:
+        object.__setattr__(det.config, 'host_preprocess', base_hp)
 
     assert len(host) == len(dev)
     for a, b in zip(host, dev):
@@ -107,7 +107,6 @@ def test_detect_batch_matches_single(detector):
 
     base_hp = det.config.host_preprocess
     object.__setattr__(det.config, 'host_preprocess', False)
-    det._shape_counts.clear()
     try:
         for b in range(2):
             single = det.detect(imgs[b])

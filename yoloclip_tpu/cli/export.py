@@ -19,6 +19,9 @@ logger = logging.getLogger('yoloclip_tpu.export')
 def main(argv: Optional[List[str]] = None) -> int:
     logging.basicConfig(level=logging.INFO)
     ap = argparse.ArgumentParser(description='Export YOLO-CLIP to StableHLO')
+    ap.add_argument('--config', default=None, help='YAML config file '
+                    '(architecture must match the checkpoint)')
+    ap.add_argument('--backbone', default=None, help='variant n/s/m/l/x')
     ap.add_argument('--model', default=None, help='checkpoint dir (orbax)')
     ap.add_argument('--classes', required=True,
                     help='comma-separated class names (baked-in vocabulary)')
@@ -36,13 +39,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument('--text-checkpoint', default=None)
     args = ap.parse_args(argv)
 
-    from yoloclip_tpu.config import InferenceConfig
+    import dataclasses
+
+    from yoloclip_tpu.config import InferenceConfig, load_config
     from yoloclip_tpu.inference.detector import YOLOCLIPDetector
     from yoloclip_tpu.utils.export import export_detector
 
+    cfg = load_config(InferenceConfig, args.config)
+    if args.backbone:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, backbone_variant=args.backbone))
     class_names = [c.strip() for c in args.classes.split(',') if c.strip()]
     det = YOLOCLIPDetector(model_path=args.model, class_names=class_names,
-                           config=InferenceConfig(),
+                           config=cfg,
                            text_checkpoint=args.text_checkpoint)
     h, w = det.image_size
     path = export_detector(
@@ -52,7 +62,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         conf_threshold=args.conf, iou_threshold=args.iou,
         max_detections=args.max_detections,
         skip_image_pool=args.reparam,
-        platforms=args.platforms.split(',') if args.platforms else None)
+        platforms=[p.strip() for p in args.platforms.split(',')
+                   if p.strip()] if args.platforms else None)
     logger.info('exported %d-class detector (bs=%d, %dx%d) -> %s',
                 len(class_names), args.batch_size, h, w, path)
     return 0

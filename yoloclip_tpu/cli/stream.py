@@ -36,9 +36,14 @@ def _synthetic_source(n_streams: int, hw):
 def _video_source(paths: List[str], hw):
     import cv2
     caps = [cv2.VideoCapture(p) for p in paths]
-    for p, c in zip(paths, caps):
-        if not c.isOpened():
-            raise FileNotFoundError(p)
+    try:
+        for p, c in zip(paths, caps):
+            if not c.isOpened():
+                raise FileNotFoundError(p)
+    except Exception:
+        for c in caps:
+            c.release()
+        raise
 
     def source(step: int) -> Optional[np.ndarray]:
         frames = []
@@ -51,6 +56,11 @@ def _video_source(paths: List[str], hw):
                 f = cv2.resize(f, (hw[1], hw[0]))
             frames.append(f)
         return np.stack(frames)
+
+    def close():
+        for c in caps:
+            c.release()
+    source.close = close
     return source
 
 
@@ -96,7 +106,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     def on_result(step, out):
         counts.append(int(np.sum(out['count'])))
 
-    stats = sd.run(source, on_result, max_steps=args.steps)
+    try:
+        stats = sd.run(source, on_result, max_steps=args.steps)
+    finally:
+        if hasattr(source, 'close'):
+            source.close()
     logger.info('%d streams x %d steps: %.1f ms/step, %.1f fps/stream, '
                 'mean detections/step %.1f',
                 n_streams, stats['steps'], stats['mean_step_ms'],

@@ -88,10 +88,6 @@ class YOLOCLIPDetector:
 
         self._detect_fn = self._build_detect_fn()
         self._detect_canvas_fn = self._build_detect_canvas_fn()
-        self._shape_counts: Dict = {}
-        # after this many detects at one resolution, 'auto' compiles the
-        # device-letterbox program for it (hot-camera amortization)
-        self._hot_shape_after = 3
 
     # ------------------------------------------------------------------
     # vocabulary management (ref `model/yolo_clip.py:225-263`)
@@ -168,6 +164,20 @@ class YOLOCLIPDetector:
 
         return run
 
+    def _host_letterbox_available(self) -> bool:
+        from yoloclip_tpu import native
+        if native.available():
+            return True
+        try:
+            import cv2  # noqa: F401
+            return True
+        except ImportError:
+            try:
+                import PIL  # noqa: F401
+                return True
+            except ImportError:
+                return False   # pure-XLA environment: device path only
+
     def _host_letterbox(self, image: np.ndarray):
         """uint8 (H, W, 3) -> (canvas uint8 (th, tw, 3), scale) on host."""
         from yoloclip_tpu import native
@@ -177,7 +187,9 @@ class YOLOCLIPDetector:
         h, w = image.shape[:2]
         th, tw = self.image_size
         scale = min(th / h, tw / w)
-        rh, rw = int(h * scale), int(w * scale)
+        # clamp to 1px: cv2.resize rejects a zero dim for extreme aspect
+        # ratios (the device path just produces an empty paste)
+        rh, rw = max(int(h * scale), 1), max(int(w * scale), 1)
         from yoloclip_tpu.data.coco import _resize
         canvas = np.zeros((th, tw, 3), np.uint8)
         canvas[:rh, :rw] = _resize(image, (rw, rh))
@@ -202,7 +214,9 @@ class YOLOCLIPDetector:
         """Detect objects; returns the reference's detection-dict list
         (box int xyxy, score, class_id, class_name). Ref `detector.py:289-325`."""
         start = time.time()
-        img, orig, _ = self.preprocess_image(image)
+        if isinstance(image, str):
+            image = _imread_rgb(image)
+        orig = np.asarray(image)
         orig_hw = orig.shape[:2]
 
         if self.use_offline_vocab and text_prompts is None:
@@ -214,16 +228,15 @@ class YOLOCLIPDetector:
             text = self.text_encoder(list(text_prompts))
             names = list(text_prompts)
 
-        key = tuple(int(x) for x in orig_hw)
-        self._shape_counts[key] = self._shape_counts.get(key, 0) + 1
+        # 'auto'/True: host letterbox (native C++/cv2) feeding ONE
+        # shape-stable device program -- deterministic across calls and no
+        # per-resolution retrace (a fresh XLA compile per novel input
+        # shape costs minutes on cold backends). False: device letterbox
+        # (recompiles per resolution; right for fixed-shape callers).
         hp = getattr(self.config, 'host_preprocess', 'auto')
-        use_host = (hp is True
-                    or (hp == 'auto'
-                        and self._shape_counts[key] <= self._hot_shape_after))
+        use_host = hp in ('auto', True) and self._host_letterbox_available()
         if use_host:
-            # shape-stable path: host letterbox (native C++/cv2), ONE
-            # device program for every input resolution (no retrace)
-            canvas, scale = self._host_letterbox(np.asarray(orig))
+            canvas, scale = self._host_letterbox(orig)
             out = self._detect_canvas_fn(
                 self.variables, jnp.asarray(canvas), text,
                 jnp.float32(scale),
@@ -231,7 +244,8 @@ class YOLOCLIPDetector:
                 jnp.float32(self.conf_threshold),
                 jnp.float32(self.iou_threshold))
         else:
-            out = self._detect_fn(self.variables, img, text, tuple(orig_hw),
+            out = self._detect_fn(self.variables, jnp.asarray(orig), text,
+                                  tuple(orig_hw),
                                   jnp.float32(self.conf_threshold),
                                   jnp.float32(self.iou_threshold))
         n = int(out['count'])

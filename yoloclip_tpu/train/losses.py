@@ -291,11 +291,15 @@ def combined_loss_clean(outputs: Dict[str, jax.Array],
         cont = region_text_bce_loss(
             outputs['obj_embeddings'], outputs['text_embeddings'],
             labels, fg, temperature=temperature)
-    else:
+    elif contrastive_type == 'softmax':
         cont = region_text_contrastive_loss(
             outputs['obj_embeddings'], outputs['text_embeddings'],
             labels, fg, temperature=temperature, topk=1,
             label_smoothing=label_smoothing)
+    else:
+        raise ValueError(
+            f"contrastive_type must be 'bce' or 'softmax', "
+            f"got {contrastive_type!r}")
 
     _, iou_l = iou_family(outputs['boxes'].astype(jnp.float32),
                           assigned['box_target'].astype(jnp.float32),

@@ -16,7 +16,6 @@ serving stack) can load and run without the Python model code.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -71,4 +70,4 @@ def load_exported(path: str):
     """Load a serialized artifact; returns `fn(images) -> dict`."""
     with open(path, 'rb') as f:
         exported = jexport.deserialize(f.read())
-    return jax.jit(functools.partial(exported.call))
+    return jax.jit(exported.call)
