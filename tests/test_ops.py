@@ -197,3 +197,25 @@ def test_resize_bilinear_matches_cv2():
         # cv2 uses fixed-point arithmetic; allow ~1 intensity level
         assert np.abs(got - want).max() <= 1.5, out_hw
         assert np.abs(got - want).mean() < 0.3
+
+
+def test_class_aware_nms_keeps_cross_class_overlaps():
+    """class_agnostic=False: identical boxes of DIFFERENT classes survive;
+    same-class duplicates are still suppressed."""
+    from yoloclip_tpu.ops.nms import batched_nms
+    boxes = jnp.asarray([[[10., 10., 50., 50.],
+                          [10., 10., 50., 50.],     # same box, other class
+                          [11., 11., 51., 51.],     # near-dup of box 0
+                          [200., 200., 240., 240.]]])
+    scores = jnp.asarray([[0.9, 0.8, 0.7, 0.6]])
+    cids = jnp.asarray([[0, 1, 0, 2]])
+
+    ag = batched_nms(boxes, scores, cids, 0.25, 0.45, topk=4,
+                     max_detections=4)
+    assert int(ag['count'][0]) == 2           # reference behavior
+
+    ca = batched_nms(boxes, scores, cids, 0.25, 0.45, topk=4,
+                     max_detections=4, class_agnostic=False)
+    assert int(ca['count'][0]) == 3
+    kept = set(np.asarray(ca['class_ids'][0][:3]).tolist())
+    assert kept == {0, 1, 2}

@@ -124,15 +124,24 @@ def nms_fixed(boxes: jax.Array, scores: jax.Array,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('topk', 'max_detections', 'method'))
+                   static_argnames=('topk', 'max_detections', 'method',
+                                    'class_agnostic'))
 def batched_nms(boxes: jax.Array, scores: jax.Array,
                 class_ids: jax.Array | None,
                 conf_threshold: float | jax.Array = 0.25,
                 iou_threshold: float | jax.Array = 0.45,
                 topk: int = 1024,
                 max_detections: int = 300,
-                method: str = 'auto') -> Dict[str, jax.Array]:
-    """Batched NMS: boxes (B,A,4), scores (B,A), ids (B,A) or None."""
+                method: str = 'auto',
+                class_agnostic: bool = True) -> Dict[str, jax.Array]:
+    """Batched NMS: boxes (B,A,4), scores (B,A), ids (B,A) or None.
+
+    class_agnostic=True is the reference behavior (SURVEY bug #12, kept
+    as the default: overlapping different-class boxes suppress each
+    other). False runs per-class suppression via the standard
+    coordinate-offset trick -- suppression sees each class in its own
+    disjoint coordinate region; outputs keep the real coordinates.
+    """
     method = _resolve_method(method)
     B, A = scores.shape
     K = min(topk, A)
@@ -143,7 +152,16 @@ def batched_nms(boxes: jax.Array, scores: jax.Array,
         boxes.astype(jnp.float32), top_idx[..., None], axis=1)
     valid = top_scores > NEG_INF / 2
 
-    keep = _batched_keep(top_boxes, valid, iou_threshold, method)
+    keep_boxes = top_boxes
+    if not class_agnostic:
+        if class_ids is None:
+            raise ValueError('class-aware NMS requires class_ids')
+        cls = jnp.take_along_axis(class_ids, top_idx, axis=1)
+        span = jnp.max(jnp.abs(top_boxes)) + 1.0
+        keep_boxes = top_boxes + (cls.astype(jnp.float32)
+                                  * span)[..., None]
+
+    keep = _batched_keep(keep_boxes, valid, iou_threshold, method)
 
     D = min(max_detections, K)
     kept_scores = jnp.where(keep, top_scores, NEG_INF)
