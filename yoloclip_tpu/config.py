@@ -99,6 +99,9 @@ class InferenceConfig:
     nms_topk: int = 1024           # pre-NMS candidate pool (top-k by score)
     fused_similarity: bool = True  # Pallas streaming max/argmax kernel
     #   (auto-disabled off-TPU; the XLA einsum path is used instead)
+    # True = reference behavior (SURVEY bug #12: cross-class suppression);
+    # False = per-class NMS (what most other frameworks do)
+    class_agnostic_nms: bool = True
     # 'auto': host letterbox (native C++/cv2) for novel input resolutions
     # -- one shape-stable device program, no per-resolution retrace --
     # switching to the device-letterbox program once a resolution repeats

@@ -121,6 +121,7 @@ class YOLOCLIPDetector:
         topk = self.config.nms_topk
         max_det = self.config.max_detections
         fused = self._use_fused_similarity()
+        agnostic = getattr(self.config, 'class_agnostic_nms', True)
 
         @functools.partial(jax.jit, static_argnames=('orig_hw',))
         def run(variables, image, text_embeddings, orig_hw,
@@ -132,7 +133,8 @@ class YOLOCLIPDetector:
             return nms_fixed(boxes, out['scores'][0], conf_threshold,
                              iou_threshold, topk=topk,
                              max_detections=max_det,
-                             class_ids=out['class_ids'][0])
+                             class_ids=out['class_ids'][0],
+                             class_agnostic=agnostic)
 
         return run
 
@@ -147,6 +149,7 @@ class YOLOCLIPDetector:
         topk = self.config.nms_topk
         max_det = self.config.max_detections
         fused = self._use_fused_similarity()
+        agnostic = getattr(self.config, 'class_agnostic_nms', True)
 
         @jax.jit
         def run(variables, canvas_u8, text_embeddings, scale, orig_wh,
@@ -160,7 +163,8 @@ class YOLOCLIPDetector:
             return nms_fixed(boxes, out['scores'][0], conf_threshold,
                              iou_threshold, topk=topk,
                              max_detections=max_det,
-                             class_ids=out['class_ids'][0])
+                             class_ids=out['class_ids'][0],
+                             class_agnostic=agnostic)
 
         return run
 
@@ -288,10 +292,12 @@ class YOLOCLIPDetector:
                                fused_scores=self._use_fused_similarity())
         h, w = images.shape[1:3]
         boxes = rescale_boxes(out['boxes'], scale, (h, w))
-        return batched_nms(boxes, out['scores'], out['class_ids'],
-                           self.conf_threshold, self.iou_threshold,
-                           topk=self.config.nms_topk,
-                           max_detections=self.config.max_detections)
+        return batched_nms(
+            boxes, out['scores'], out['class_ids'],
+            self.conf_threshold, self.iou_threshold,
+            topk=self.config.nms_topk,
+            max_detections=self.config.max_detections,
+            class_agnostic=getattr(self.config, 'class_agnostic_nms', True))
 
     def draw_detections(self, image: Union[str, np.ndarray],
                         detections: List[Dict]) -> np.ndarray:

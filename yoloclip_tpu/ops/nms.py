@@ -103,13 +103,15 @@ def _batched_keep(top_boxes: jax.Array, valid: jax.Array,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('topk', 'max_detections', 'method'))
+                   static_argnames=('topk', 'max_detections', 'method',
+                                    'class_agnostic'))
 def nms_fixed(boxes: jax.Array, scores: jax.Array,
               conf_threshold: float | jax.Array = 0.25,
               iou_threshold: float | jax.Array = 0.45,
               topk: int = 1024, max_detections: int = 300,
               class_ids: jax.Array | None = None,
-              method: str = 'auto') -> Dict[str, jax.Array]:
+              method: str = 'auto',
+              class_agnostic: bool = True) -> Dict[str, jax.Array]:
     """Single-image NMS with fixed output shapes.
 
     boxes: (A, 4) xyxy; scores: (A,); class_ids: (A,) optional.
@@ -119,7 +121,7 @@ def nms_fixed(boxes: jax.Array, scores: jax.Array,
     out = batched_nms(boxes[None], scores[None],
                       None if class_ids is None else class_ids[None],
                       conf_threshold, iou_threshold, topk,
-                      max_detections, method)
+                      max_detections, method, class_agnostic)
     return jax.tree_util.tree_map(lambda x: x[0], out)
 
 
