@@ -1,0 +1,327 @@
+"""Parity against the ACTUAL reference code imported from /root/reference.
+
+This is the non-circular parity contract (round-1 verdict items 1-3): the
+reference's own torch modules run on CPU here once two unavailable imports
+are stubbed -- `clip` (the OpenAI package downloads weights; the offline
+vision forward never calls it) and `cv2` (image IO only; postprocess/NMS
+are pure numpy). Weights flow OUR randomly-initialized flax variables ->
+`export_reference_state_dict` -> the reference composite's
+`load_state_dict`, then both stacks run the same inputs:
+
+  * `yolo_clip_detector.model.yolo_clip.YOLOCLIP` forward (offline mode,
+    the vocabulary matrix injected directly) vs our jitted model -- at
+    640px, fp32 AND bf16, batch 2, variants 'n' and 's' (the reference
+    crashes on 's' due to its hard-coded I-Pool projections,
+    `model/repvl_pan.py:134-138`; we patch ONLY those three Linear layers
+    to the correct widths and keep every other reference line).
+  * `yolo_clip_detector.inference.detector.YOLOCLIPDetector._nms` /
+    `postprocess_detections` as the NMS oracle on randomized and
+    adversarial (tied-score, duplicate-box, suppression-chain) inputs.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from yoloclip_tpu.config import ModelConfig
+from yoloclip_tpu.models.yolo_clip import YOLOCLIP
+from yoloclip_tpu.ops.nms import nms_fixed
+from yoloclip_tpu.ops.preprocess import rescale_boxes
+from yoloclip_tpu.utils.convert import export_reference_state_dict
+
+torch.set_grad_enabled(False)
+
+REF_ROOT = '/root/reference'
+
+
+def _install_stubs():
+    if 'clip' not in sys.modules:
+        clip_stub = types.ModuleType('clip')
+
+        class _StubCLIPModel(torch.nn.Module):
+            def encode_text(self, tokens):
+                raise RuntimeError(
+                    'stub CLIP: offline parity tests never encode text')
+
+        clip_stub.load = lambda name, device=None, **kw: (_StubCLIPModel(),
+                                                          lambda im: im)
+        clip_stub.tokenize = lambda texts, context_length=77: torch.zeros(
+            (len(texts), context_length), dtype=torch.long)
+        sys.modules['clip'] = clip_stub
+    try:
+        import cv2  # noqa: F401
+    except ImportError:
+        sys.modules.setdefault('cv2', types.ModuleType('cv2'))
+
+
+@pytest.fixture(scope='module')
+def ref():
+    """The reference package, imported from /root/reference."""
+    _install_stubs()
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    import yolo_clip_detector.inference.detector as ref_detector
+    import yolo_clip_detector.model.yolo_clip as ref_yolo_clip
+    return types.SimpleNamespace(yolo_clip=ref_yolo_clip,
+                                 detector=ref_detector)
+
+
+# ---------------------------------------------------------------------------
+# composite forward parity (reference model/yolo_clip.py:102-223)
+# ---------------------------------------------------------------------------
+
+def _jitter_batch_stats(tree, key=[0]):
+    """Randomize BN running stats so eval normalization is non-trivial."""
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out[k] = _jitter_batch_stats(v)
+        elif k == 'mean':
+            out[k] = v + 0.05 * np.random.RandomState(key[0]).randn(
+                *v.shape).astype(np.float32)
+        elif k == 'var':
+            out[k] = v + 0.3 * np.random.RandomState(key[0] + 1).rand(
+                *v.shape).astype(np.float32)
+        else:
+            out[k] = v
+        key[0] += 1
+    return out
+
+
+def _build_reference_model(ref, cfg: ModelConfig, variables, num_classes,
+                           text_np: np.ndarray):
+    ref_model = ref.yolo_clip.YOLOCLIP(
+        backbone_variant=cfg.backbone_variant, offline_mode=True,
+        num_classes=num_classes, reg_max=cfg.reg_max,
+        strides=list(cfg.strides))
+    if cfg.backbone_variant != 'n':
+        # Reference bug #7 (SURVEY §2.9): I-Pool projections hard-code the
+        # 'n'-variant widths 64/128/256 (repvl_pan.py:134-138) so s/m/l
+        # crash in the neck. Patch ONLY those three Linear layers to the
+        # true feature widths; everything else is reference code.
+        fc = cfg.feature_channels()
+        ref_model.neck.image_pooling_attention.projections = \
+            torch.nn.ModuleList(
+                [torch.nn.Linear(c, cfg.embed_dim) for c in fc])
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_reference_state_dict(variables, cfg).items()}
+    missing, unexpected = ref_model.load_state_dict(sd, strict=False)
+    assert all('num_batches_tracked' in m for m in missing), missing
+    assert not unexpected, unexpected
+    ref_model.eval()
+    ref_model.offline_vocabulary = torch.from_numpy(text_np)
+    return ref_model
+
+
+def _composite_pair(ref, variant: str, size: int, dtype: str,
+                    batch: int = 2, num_classes: int = 7):
+    cfg = ModelConfig(backbone_variant=variant, image_size=(size, size),
+                      dtype=dtype)
+    model = YOLOCLIP(cfg)
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.uniform(rng, (batch, size, size, 3))
+    text = jax.random.normal(jax.random.PRNGKey(1), (num_classes, 512))
+    text = text / jnp.linalg.norm(text, axis=-1, keepdims=True)
+    variables = model.init(rng, images, text, with_aux_box=True)
+    variables = {'params': variables['params'],
+                 'batch_stats': _jitter_batch_stats(variables['batch_stats'])}
+
+    out = jax.jit(lambda v, im, tx: model.apply(v, im, tx))(
+        variables, images, text)
+
+    fp32_vars = jax.tree_util.tree_map(
+        lambda x: np.asarray(x, np.float32), variables)
+    ref_model = _build_reference_model(ref, cfg, fp32_vars, num_classes,
+                                       np.asarray(text, np.float32))
+    t_out = ref_model(torch.from_numpy(
+        np.asarray(images, np.float32).transpose(0, 3, 1, 2)))
+    return out, t_out
+
+
+def test_reference_composite_parity_fp32_640(ref):
+    """BASELINE contract: boxes/scores/class_ids parity at 640, batch 2."""
+    out, t_out = _composite_pair(ref, 'n', 640, 'float32')
+    np.testing.assert_allclose(np.asarray(out['boxes']),
+                               t_out['boxes'].numpy(),
+                               rtol=2e-3, atol=0.05)
+    np.testing.assert_allclose(np.asarray(out['scores']),
+                               t_out['scores'].numpy(),
+                               rtol=1e-3, atol=1e-3)
+    ids = np.asarray(out['class_ids'])
+    t_ids = t_out['class_ids'].numpy()
+    assert (ids == t_ids).mean() > 0.99   # argmax ties at fp noise level
+
+
+def test_reference_composite_parity_bf16_640(ref):
+    """Our bf16 deploy pipeline vs the fp32 reference: detection-level
+    agreement (bf16 mantissa error amplified through exp(wh))."""
+    out, t_out = _composite_pair(ref, 'n', 640, 'bfloat16')
+    t_scores = t_out['scores'].numpy()
+    np.testing.assert_allclose(np.asarray(out['scores']), t_scores,
+                               rtol=0.05, atol=0.03)
+    # boxes: compare in log-space (DFL expectation error ~bf16 eps is
+    # multiplied by exp(); relative box error ~ exp(delta))
+    b_ours = np.asarray(out['boxes'], np.float64)
+    b_ref = t_out['boxes'].numpy().astype(np.float64)
+    rel = np.abs(b_ours - b_ref) / (np.abs(b_ref) + 1.0)
+    assert np.quantile(rel, 0.99) < 0.15, np.quantile(rel, 0.99)
+    ids = np.asarray(out['class_ids'])
+    assert (ids == t_out['class_ids'].numpy()).mean() > 0.9
+
+
+def test_reference_composite_parity_s_variant(ref):
+    """Variant 's' vs the (I-Pool-corrected) reference -- proves the
+    rebuild's multi-variant support matches reference math, not just 'n'."""
+    out, t_out = _composite_pair(ref, 's', 320, 'float32')
+    np.testing.assert_allclose(np.asarray(out['boxes']),
+                               t_out['boxes'].numpy(),
+                               rtol=2e-3, atol=0.05)
+    np.testing.assert_allclose(np.asarray(out['scores']),
+                               t_out['scores'].numpy(),
+                               rtol=1e-3, atol=1e-3)
+    assert (np.asarray(out['class_ids'])
+            == t_out['class_ids'].numpy()).mean() > 0.99
+
+
+# ---------------------------------------------------------------------------
+# NMS / postprocess oracle (reference inference/detector.py:163-287)
+# ---------------------------------------------------------------------------
+
+def _ref_postprocess(ref, outputs_np, orig_size, scale, conf, iou):
+    det = ref.detector.YOLOCLIPDetector.__new__(
+        ref.detector.YOLOCLIPDetector)
+    det.conf_threshold = conf
+    det.iou_threshold = iou
+    det.image_size = (640, 640)
+    det.class_names = None
+    outputs = {k: torch.from_numpy(v[None].copy())
+               for k, v in outputs_np.items()}
+    return det.postprocess_detections(outputs, orig_size, scale)
+
+
+def _our_postprocess(outputs_np, orig_size, scale, conf, iou):
+    boxes = rescale_boxes(jnp.asarray(outputs_np['boxes']),
+                          jnp.float32(scale), orig_size)
+    A = outputs_np['scores'].shape[0]
+    out = nms_fixed(boxes, jnp.asarray(outputs_np['scores']),
+                    jnp.float32(conf), jnp.float32(iou),
+                    topk=A, max_detections=A,
+                    class_ids=jnp.asarray(outputs_np['class_ids']))
+    n = int(out['count'])
+    return [{'box': np.asarray(out['boxes'])[i].astype(int).tolist(),
+             'score': float(np.asarray(out['scores'])[i]),
+             'class_id': int(np.asarray(out['class_ids'])[i])}
+            for i in range(n)]
+
+
+def _assert_detections_match(ours, theirs, ordered=True):
+    assert len(ours) == len(theirs), (len(ours), len(theirs))
+    if not ordered:
+        key = lambda d: (round(d['score'], 5), tuple(d['box']), d['class_id'])
+        ours, theirs = sorted(ours, key=key), sorted(theirs, key=key)
+    for a, b in zip(ours, theirs):
+        assert a['class_id'] == b['class_id'], (a, b)
+        np.testing.assert_allclose(a['score'], b['score'], rtol=1e-5)
+        assert np.abs(np.array(a['box']) - np.array(b['box'])).max() <= 1, \
+            (a, b)   # int() truncation can differ by 1 at fp noise
+
+
+def _random_outputs(rng, A, num_classes=10, canvas=640.0):
+    x1 = rng.uniform(0, canvas * 0.9, A)
+    y1 = rng.uniform(0, canvas * 0.9, A)
+    w = rng.uniform(4, canvas * 0.5, A)
+    h = rng.uniform(4, canvas * 0.5, A)
+    boxes = np.stack([x1, y1, x1 + w, y1 + h], -1).astype(np.float32)
+    return {
+        'boxes': boxes,
+        'scores': rng.uniform(-1, 1, A).astype(np.float32),
+        'class_ids': rng.randint(0, num_classes, A).astype(np.int64),
+    }
+
+
+def test_nms_oracle_randomized(ref):
+    rng = np.random.RandomState(7)
+    for trial in range(5):
+        outputs = _random_outputs(rng, A=300)
+        orig = (480, 600)
+        scale = min(640 / orig[0], 640 / orig[1])
+        theirs = _ref_postprocess(ref, outputs, orig, scale, 0.25, 0.45)
+        ours = _our_postprocess(outputs, orig, scale, 0.25, 0.45)
+        assert len(theirs) > 0   # sanity: the trial exercised something
+        _assert_detections_match(ours, theirs)
+
+
+def test_nms_oracle_suppression_chain(ref):
+    """a>b overlap, b>c overlap, a/c disjoint: greedy keeps a and c."""
+    boxes = np.array([[0, 0, 100, 100],      # a
+                      [40, 0, 140, 100],     # b: IoU(a,b)=0.43 > 0.3
+                      [80, 0, 180, 100],     # c: IoU(b,c)=0.43, IoU(a,c)=0.11
+                      [400, 400, 500, 500]], np.float32)
+    outputs = {'boxes': boxes,
+               'scores': np.array([0.9, 0.8, 0.7, 0.6], np.float32),
+               'class_ids': np.array([1, 2, 3, 4], np.int64)}
+    theirs = _ref_postprocess(ref, outputs, (640, 640), 1.0, 0.25, 0.3)
+    ours = _our_postprocess(outputs, (640, 640), 1.0, 0.25, 0.3)
+    assert [d['class_id'] for d in theirs] == [1, 3, 4]
+    _assert_detections_match(ours, theirs)
+
+
+def test_nms_oracle_tied_scores_duplicate_boxes(ref):
+    """Exactly tied scores on exactly duplicated boxes: the two stacks may
+    break the argsort tie differently (numpy keeps later index first, top_k
+    keeps earlier) but must produce the same detection VALUES."""
+    base = np.array([[10, 10, 110, 110],
+                     [300, 300, 400, 400],
+                     [500, 20, 600, 120]], np.float32)
+    boxes = np.concatenate([base, base.copy()], 0)
+    scores = np.array([0.8, 0.7, 0.6, 0.8, 0.7, 0.6], np.float32)
+    cls = np.array([2, 5, 1, 2, 5, 1], np.int64)
+    outputs = {'boxes': boxes, 'scores': scores, 'class_ids': cls}
+    theirs = _ref_postprocess(ref, outputs, (640, 640), 1.0, 0.25, 0.45)
+    ours = _our_postprocess(outputs, (640, 640), 1.0, 0.25, 0.45)
+    assert len(theirs) == 3   # each duplicate pair collapses to one
+    _assert_detections_match(ours, theirs, ordered=False)
+
+
+def test_nms_oracle_heavy_overlap_grid(ref):
+    """Dense jittered grid of overlapping boxes, distinct scores."""
+    rng = np.random.RandomState(3)
+    centers = [(x, y) for x in (100, 130, 160) for y in (100, 130, 160)]
+    boxes, scores = [], []
+    for i, (cx, cy) in enumerate(centers):
+        for j in range(4):
+            dx, dy = rng.uniform(-8, 8, 2)
+            boxes.append([cx + dx - 50, cy + dy - 50,
+                          cx + dx + 50, cy + dy + 50])
+            scores.append(0.9 - 0.013 * (4 * i + j))
+    outputs = {'boxes': np.array(boxes, np.float32),
+               'scores': np.array(scores, np.float32),
+               'class_ids': np.arange(len(boxes), dtype=np.int64) % 6}
+    theirs = _ref_postprocess(ref, outputs, (640, 640), 1.0, 0.25, 0.5)
+    ours = _our_postprocess(outputs, (640, 640), 1.0, 0.25, 0.5)
+    assert 0 < len(theirs) < len(boxes)
+    _assert_detections_match(ours, theirs)
+
+
+def test_nms_oracle_conf_threshold_and_rescale(ref):
+    """Scale != 1 exercises the divide-then-clip path; strict > threshold."""
+    outputs = {
+        'boxes': np.array([[0, 0, 64, 64],
+                           [500, 500, 700, 700],   # clips to orig bounds
+                           [100, 100, 200, 200]], np.float32),
+        'scores': np.array([0.25, 0.4, 0.3], np.float32),  # 0.25 excluded
+        'class_ids': np.array([0, 1, 2], np.int64),
+    }
+    orig = (333, 500)
+    scale = min(640 / orig[0], 640 / orig[1])
+    theirs = _ref_postprocess(ref, outputs, orig, scale, 0.25, 0.45)
+    ours = _our_postprocess(outputs, orig, scale, 0.25, 0.45)
+    assert len(theirs) == 2   # strict >: the 0.25 score is dropped
+    _assert_detections_match(ours, theirs)

@@ -73,7 +73,12 @@ def letterbox(image: jax.Array, target_hw: Tuple[int, int] = (640, 640)
     scale = min(th / h, tw / w)
     rh, rw = int(h * scale), int(w * scale)
 
-    resized = resize_bilinear(image.astype(jnp.float32), (rh, rw))
+    if (rh, rw) == (h, w):
+        resized = image.astype(jnp.float32)   # identity resize, skip matmuls
+    else:
+        resized = resize_bilinear(image.astype(jnp.float32), (rh, rw))
+    if (rh, rw) == (th, tw):
+        return resized / 255.0, jnp.float32(scale)
     canvas = jnp.zeros((th, tw, 3), jnp.float32)
     canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, 0, 0))
     return canvas / 255.0, jnp.float32(scale)
@@ -89,12 +94,19 @@ def letterbox_batch(images: jax.Array, target_hw: Tuple[int, int] = (640, 640)
     th, tw = target_hw
     scale = min(th / h, tw / w)
     rh, rw = int(h * scale), int(w * scale)
-    Rh = jnp.asarray(_bilinear_matrix(h, rh))
-    Rw = jnp.asarray(_bilinear_matrix(w, rw))
-    t = jnp.einsum('oh,bhwc->bowc', Rh, images.astype(jnp.float32),
-                   preferred_element_type=jnp.float32)
-    resized = jnp.einsum('pw,bowc->bopc', Rw, t,
-                         preferred_element_type=jnp.float32)
+    if (rh, rw) == (h, w):
+        # Already target-scale: the half-pixel bilinear matrix at src==dst
+        # is exactly identity, so skip the matmuls (shape-static branch).
+        resized = images.astype(jnp.float32)
+    else:
+        Rh = jnp.asarray(_bilinear_matrix(h, rh))
+        Rw = jnp.asarray(_bilinear_matrix(w, rw))
+        t = jnp.einsum('oh,bhwc->bowc', Rh, images.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        resized = jnp.einsum('pw,bowc->bopc', Rw, t,
+                             preferred_element_type=jnp.float32)
+    if (rh, rw) == (th, tw):
+        return resized / 255.0, jnp.float32(scale)
     canvas = jnp.zeros((B, th, tw, 3), jnp.float32)
     canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, 0, 0, 0))
     return canvas / 255.0, jnp.float32(scale)
