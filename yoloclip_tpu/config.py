@@ -102,6 +102,10 @@ class InferenceConfig:
     # True = reference behavior (SURVEY bug #12: cross-class suppression);
     # False = per-class NMS (what most other frameworks do)
     class_agnostic_nms: bool = True
+    # True: refuse to serve with a degraded text pipeline (random-init
+    # text tower or zero-merge tokenizer) instead of warning -- detections
+    # would look valid but carry no CLIP semantics.
+    require_text_quality: bool = False
     # 'auto': host letterbox (native C++/cv2) for novel input resolutions
     # -- one shape-stable device program, no per-resolution retrace --
     # switching to the device-letterbox program once a resolution repeats

@@ -77,6 +77,12 @@ class YOLOCLIPDetector:
             self.variables = self.model.init(
                 jax.random.PRNGKey(seed), dummy_img, dummy_txt)
 
+        # A degraded text stack (random-init tower / zero-merge tokenizer)
+        # produces confident-looking garbage -- shout at init AND on the
+        # first detect, or refuse outright behind require_text_quality.
+        self._text_quality_warned = False
+        self._check_text_quality()
+
         # Offline vocabulary (encode once, reuse forever).
         # Ref fallback semantics `detector.py:93-98` / SURVEY quirk #9.
         self.offline_vocabulary: Optional[jax.Array] = None
@@ -89,6 +95,17 @@ class YOLOCLIPDetector:
         self._detect_fn = self._build_detect_fn()
         self._detect_canvas_fn = self._build_detect_canvas_fn()
         self._detect_batch_fn = self._build_detect_batch_fn()
+
+    def _check_text_quality(self) -> None:
+        issues = self.text_encoder.quality_issues()
+        if not issues:
+            return
+        msg = ('DEGRADED text pipeline -- open-vocabulary scores will be '
+               'meaningless: ' + '; '.join(issues))
+        if getattr(self.config, 'require_text_quality', False):
+            raise RuntimeError(msg)
+        logger.warning(msg)
+        self._text_quality_warned = True
 
     # ------------------------------------------------------------------
     # vocabulary management (ref `model/yolo_clip.py:225-263`)
@@ -250,6 +267,9 @@ class YOLOCLIPDetector:
         """Detect objects; returns the reference's detection-dict list
         (box int xyxy, score, class_id, class_name). Ref `detector.py:289-325`."""
         start = time.time()
+        if self._text_quality_warned:
+            self._text_quality_warned = False
+            self._check_text_quality()   # repeat the shout at serve time
         if isinstance(image, str):
             image = _imread_rgb(image)
         orig = np.asarray(image)

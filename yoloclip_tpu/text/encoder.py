@@ -57,6 +57,7 @@ class CLIPTextEncoder:
 
         if params is None and checkpoint_path is not None:
             params = load_text_tower_params(checkpoint_path)
+        self.random_init = params is None
         if params is None:
             # Random init: correct shapes/architecture for bring-up; real
             # zero-shot quality needs converted OpenAI weights on disk.
@@ -112,6 +113,23 @@ class CLIPTextEncoder:
     def encode_vocabulary(self, vocabulary: Sequence[str]) -> jax.Array:
         """Ref `text_encoder.py:89-101`: "a photo of a {}" template."""
         return self(['a photo of a ' + v for v in vocabulary])
+
+    def quality_issues(self) -> List[str]:
+        """Degraded-quality conditions a serving stack must surface:
+        embeddings from a random-init tower or a zero-merge tokenizer look
+        structurally valid but carry no CLIP semantics."""
+        issues = []
+        if self.random_init:
+            issues.append(
+                'text tower is RANDOM-INIT (no CLIP weights): pass '
+                'text_checkpoint= / params=, or convert a reference .pth '
+                'with yoloclip_tpu.utils.convert.load_reference_checkpoint')
+        if getattr(self.tokenizer, 'degraded', False):
+            issues.append(
+                'tokenizer runs in zero-merge byte mode (no BPE table): '
+                'set CLIP_BPE_PATH to bpe_simple_vocab_16e6.txt.gz or place '
+                'it in ~/.cache/clip/')
+        return issues
 
     # The reference exposes freeze/unfreeze toggles (`text_encoder.py:103-113`).
     # Here freezing is structural: params are not part of any train state.

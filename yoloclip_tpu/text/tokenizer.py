@@ -24,6 +24,7 @@ import gzip
 import html
 import os
 import re
+import unicodedata
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -32,14 +33,72 @@ CONTEXT_LENGTH = 77
 VOCAB_SIZE = 49408
 N_MERGES = VOCAB_SIZE - 512 - 2  # 48894
 
-# CLIP's word-splitting pattern uses \p{L}/\p{N}; stdlib `re` lacks those,
-# and this ASCII equivalent matches CLIP's behavior for English prompts
-# (class names and templates are ASCII).
-_PAT = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
-    r"""[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
-    re.IGNORECASE,
-)
+# CLIP's word-splitting pattern is
+#   <|startoftext|>|<|endoftext|>|'s|'t|'re|'ve|'m|'ll|'d|
+#   [\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+
+# (IGNORECASE). stdlib `re` lacks \p classes, so `word_split` below scans
+# with unicodedata general categories instead -- exact \p{L}/\p{N}
+# semantics for non-ASCII prompts ("café", "日本"), verified against the
+# real pattern via the `regex` module in tests/test_text.py.
+
+_SPECIALS = ('<|startoftext|>', '<|endoftext|>')
+# tried in the regex's alternation order ('s before 'll etc.)
+_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+
+def _is_letter(c: str) -> bool:
+    return unicodedata.category(c).startswith('L')     # \p{L}
+
+
+def _is_number(c: str) -> bool:
+    return unicodedata.category(c).startswith('N')     # \p{N}
+
+
+def word_split(text: str) -> List[str]:
+    """CLIP word-splitting regex as a unicodedata scanner.
+
+    Alternation semantics are preserved: alternatives are only tried at
+    match START positions, so e.g. an apostrophe swallowed by a preceding
+    punctuation run never becomes a contraction (matching the greedy
+    `[^\\s\\p{L}\\p{N}]+`). Input is expected pre-lowercased (encode()
+    lowercases, like the reference's clip.tokenize)."""
+    tokens: List[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c.isspace():
+            i += 1
+            continue
+        special = next((s for s in _SPECIALS if text.startswith(s, i)), None)
+        if special is not None:
+            tokens.append(special)
+            i += len(special)
+            continue
+        if c == "'":
+            head = text[i:i + 3].lower()
+            con = next((k for k in _CONTRACTIONS if head.startswith(k)), None)
+            if con is not None:
+                tokens.append(text[i:i + len(con)])
+                i += len(con)
+                continue
+        if _is_letter(c):
+            j = i + 1
+            while j < n and _is_letter(text[j]):
+                j += 1
+            tokens.append(text[i:j])
+            i = j
+            continue
+        if _is_number(c):     # [\p{N}] matches ONE numeral at a time
+            tokens.append(c)
+            i += 1
+            continue
+        j = i + 1
+        while j < n and not (text[j].isspace() or _is_letter(text[j])
+                             or _is_number(text[j])):
+            j += 1
+        tokens.append(text[i:j])
+        i = j
+    return tokens
 
 
 @functools.lru_cache()
@@ -63,6 +122,10 @@ def _get_pairs(word: Tuple[str, ...]) -> set:
 
 
 def _basic_clean(text: str) -> str:
+    # CLIP runs ftfy.fix_text (mojibake repair + NFC normalization) before
+    # the double html.unescape; for well-formed input fix_text reduces to
+    # NFC, which matters for decomposed non-ASCII ("café" == "café").
+    text = unicodedata.normalize('NFC', text)
     text = html.unescape(html.unescape(text))
     return text.strip()
 
@@ -161,7 +224,7 @@ class CLIPTokenizer:
     def encode(self, text: str) -> List[int]:
         text = _whitespace_clean(_basic_clean(text)).lower()
         ids: List[int] = []
-        for tok in re.findall(_PAT, text):
+        for tok in word_split(text):
             tok = ''.join(self.byte_encoder[b] for b in tok.encode('utf-8'))
             ids.extend(self.encoder[t] for t in self.bpe(tok).split(' '))
         return ids
