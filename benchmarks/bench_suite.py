@@ -30,10 +30,10 @@ from yoloclip_tpu.utils.general import enable_compile_cache
 enable_compile_cache()
 
 
-def _model(image_size=640, dtype='bfloat16', num_classes=80):
+def _model(image_size=640, dtype='bfloat16', num_classes=80, variant='n'):
     from yoloclip_tpu.config import ModelConfig
     from yoloclip_tpu.models.yolo_clip import YOLOCLIP
-    cfg = ModelConfig(backbone_variant='n',
+    cfg = ModelConfig(backbone_variant=variant,
                       image_size=(image_size, image_size), dtype=dtype)
     model = YOLOCLIP(cfg)
     rng = jax.random.PRNGKey(0)
@@ -253,9 +253,83 @@ def bench_peak_throughput(batch=128):
     emit(f'peak_bs{batch}_throughput', batch / dt, 'images/sec/chip', 400)
 
 
+def bench_detect_default_path():
+    """Config 8: the DEFAULT public `detect()` path a user actually hits --
+    host_preprocess='auto' (native C++ letterbox -> shape-stable canvas
+    program -> one small fetch) -- measured three ways: end-to-end p50 of
+    `detect()` itself (includes the tunnel round-trip here), the host
+    letterbox alone, and the slope-method device time of the canvas
+    program. On locally-attached hardware e2e ~= host letterbox + device."""
+    from yoloclip_tpu.config import InferenceConfig, ModelConfig
+    from yoloclip_tpu.inference.detector import YOLOCLIPDetector
+    cfg = InferenceConfig(model=ModelConfig(image_size=(640, 640),
+                                            dtype='bfloat16'))
+    det = YOLOCLIPDetector(config=cfg)   # COCO-80 offline vocabulary
+    img = (np.random.RandomState(0).rand(480, 854, 3) * 255).astype(np.uint8)
+    det.detect(img)                      # compile + cache
+
+    ts = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        det.detect(img)
+        ts.append(time.perf_counter() - t0)
+    emit('detect_api_default_e2e_p50', float(np.percentile(ts, 50) * 1000),
+         'ms', None)
+
+    ts = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        det._host_letterbox(img)
+        ts.append(time.perf_counter() - t0)
+    emit('detect_api_host_letterbox_p50',
+         float(np.percentile(ts, 50) * 1000), 'ms', None)
+
+    # slope method on the canvas device program (the part the chip runs)
+    canvas, scale = det._host_letterbox(img)
+    args_d = (det.variables, jnp.asarray(canvas), det.offline_vocabulary,
+              jnp.float32(scale), jnp.asarray([854, 480], jnp.float32),
+              jnp.float32(det.conf_threshold), jnp.float32(det.iou_threshold))
+
+    def run_n(n, reps=15):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = None
+            for _ in range(n):
+                r = det._detect_canvas_fn(*args_d)
+            np.asarray(r)   # packed (max_det+1, 6): one fetch
+            ts.append(time.perf_counter() - t0)
+        return float(np.percentile(ts, 50) * 1000)
+
+    t1, t9 = run_n(1), run_n(9)
+    device_ms = max((t9 - t1) / 8.0, 1e-3)
+    emit('detect_api_canvas_device', device_ms, 'ms', None)
+    emit('detect_api_latency_headroom', 15.0 / device_ms, 'x_budget', 1.0)
+
+
+def bench_variant_s(batch=32):
+    """Config 9: variant 's' throughput -- shows the framework is not
+    tuned to one shape (the reference can't even run 's', SURVEY bug #7)."""
+    from yoloclip_tpu.ops.nms import batched_nms
+    model, variables, text = _model(variant='s')
+    images = jax.random.uniform(jax.random.PRNGKey(1),
+                                (batch, 640, 640, 3), jnp.float32)
+    fused = jax.default_backend() == 'tpu'
+
+    @jax.jit
+    def pipeline(variables, images, text):
+        out = model.apply(variables, images, text, fused_scores=fused)
+        return batched_nms(out['boxes'], out['scores'], out['class_ids'],
+                           0.25, 0.45, topk=1024, max_detections=300)
+
+    dt = _throughput_time(pipeline, variables, images, text)
+    emit(f'variant_s_bs{batch}_throughput', batch / dt,
+         'images/sec/chip', 400)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--configs', default='1,2,3,4,5,6,7')
+    ap.add_argument('--configs', default='1,2,3,4,5,6,7,8,9')
     args = ap.parse_args()
     wanted = set(args.configs.split(','))
     if '1' in wanted:
@@ -272,6 +346,10 @@ def main():
         bench_train_step()
     if '7' in wanted:
         bench_peak_throughput()
+    if '8' in wanted:
+        bench_detect_default_path()
+    if '9' in wanted:
+        bench_variant_s()
 
 
 if __name__ == '__main__':

@@ -1,0 +1,252 @@
+"""Quality benchmark: train, measure mAP, cross-check vs the reference.
+
+The BASELINE 'detection quality' axis ("mAP within 0.5 pt of the PyTorch
+reference") cannot be measured directly here -- no COCO images, no CLIP
+weights, and the reference publishes no numbers (SURVEY §6). This is the
+closest offline measurement:
+
+  1. Train the CLEAN-mode detector (topk_center assigner + BCE objective)
+     on the deterministic synthetic multi-object set
+     (`yoloclip_tpu/data/synth.py`: 6 classes, 2-5 objects/image,
+     occlusions) with fixed random class embeddings as the vocabulary.
+  2. Report COCO-style mAP50 / mAP50-95 on a held-out split through the
+     REAL inference path (conf 0.25 + class-agnostic NMS) using the
+     correct evaluator (`yoloclip_tpu/utils/metrics.py`).
+  3. Run the SAME weights through the reference's own torch forward +
+     postprocess (`yoloclip_tpu/utils/refbridge.py`) and report ITS mAP
+     plus per-image detection agreement -- if the two stacks disagree,
+     parity is broken somewhere upstream of the metric.
+
+Prints one JSON line; detailed numbers land in benchmarks/RESULTS.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_train(args):
+    import jax
+    import jax.numpy as jnp
+
+    from yoloclip_tpu.config import ModelConfig, TrainingConfig
+    from yoloclip_tpu.data.synth import (make_synth_detection_set,
+                                         synth_text_embeddings)
+    from yoloclip_tpu.models.yolo_clip import YOLOCLIP
+    from yoloclip_tpu.train.train_state import (create_train_state,
+                                                make_onecycle_schedule,
+                                                make_train_step,
+                                                set_learning_rate)
+
+    S = args.image_size
+    mcfg = ModelConfig(backbone_variant=args.variant, image_size=(S, S))
+    cfg = TrainingConfig(model=mcfg, max_objects=8,
+                         batch_size=args.batch_size,
+                         assigner='topk_center', contrastive_type='bce')
+    model = YOLOCLIP(mcfg)
+    train = make_synth_detection_set(args.train_images, seed=0, image_size=S)
+    text = synth_text_embeddings()
+    C = text.shape[0]
+
+    rng = jax.random.PRNGKey(args.seed)
+    state = create_train_state(model, cfg, rng,
+                               jnp.zeros((1, S, S, 3)), jnp.zeros((C, 512)))
+    step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+    sched = make_onecycle_schedule(args.lr, args.steps,
+                                   max(args.steps // 20, 1))
+
+    B = args.batch_size
+    textb = jnp.broadcast_to(jnp.asarray(text)[None], (B, C, 512))
+    rs = np.random.RandomState(1)
+    order = rs.permutation(args.train_images)
+    pos = 0
+    t0 = time.time()
+    parts = None
+    for i in range(args.steps):
+        if pos + B > args.train_images:
+            order = rs.permutation(args.train_images)
+            pos = 0
+        idx = order[pos:pos + B]
+        pos += B
+        batch = {
+            'images': jnp.asarray(train['images'][idx]),
+            'boxes': jnp.asarray(train['boxes'][idx]),
+            'class_ids': jnp.asarray(train['class_ids'][idx]),
+            'valid_mask': jnp.asarray(train['valid_mask'][idx]),
+        }
+        state = set_learning_rate(state, float(sched(i)))
+        state, parts = step(state, batch, textb)
+        if (i + 1) % max(args.steps // 10, 1) == 0:
+            print(f'  step {i + 1}/{args.steps} '
+                  f'loss={float(parts["loss"]):.4f} '
+                  f'({time.time() - t0:.0f}s)', flush=True)
+    return model, mcfg, state, text
+
+
+def eval_ours(model, state, val, text, conf, iou):
+    import jax
+    import jax.numpy as jnp
+
+    from yoloclip_tpu.ops.nms import batched_nms
+    from yoloclip_tpu.ops.preprocess import rescale_boxes
+
+    variables = {'params': state.params, 'batch_stats': state.batch_stats}
+    S = val['images'].shape[1]
+
+    @jax.jit
+    def run(v, im, tx):
+        # 'highest': keep fp32 convs true-fp32 on TPU (the default lowers
+        # them to bf16 passes) so the cross-check against the fp32 torch
+        # reference measures pipeline agreement, not compute precision
+        with jax.default_matmul_precision('highest'):
+            out = model.apply(v, im, tx)
+        # scale-1.0 rescale applies the reference's pre-NMS boundary clip
+        boxes = rescale_boxes(out['boxes'], jnp.float32(1.0), (S, S))
+        return batched_nms(boxes, out['scores'], out['class_ids'],
+                           jnp.float32(conf), jnp.float32(iou),
+                           topk=512, max_detections=32)
+
+    preds = []
+    N = val['images'].shape[0]
+    bs = 16
+    for i in range(0, N, bs):
+        det = run(variables, jnp.asarray(val['images'][i:i + bs]),
+                  jnp.asarray(text))
+        for b in range(det['boxes'].shape[0]):
+            preds.append({
+                # int-truncate like the reference's detection dicts
+                # (`detector.py:211`) so both mAP runs quantize alike
+                'boxes': (np.asarray(det['boxes'][b]).astype(int)
+                          .astype(float))[None],
+                'scores': np.asarray(det['scores'][b])[None],
+                'class_ids': np.asarray(det['class_ids'][b])[None],
+            })
+    return preds
+
+
+def eval_reference(mcfg, state, val, text, conf, iou):
+    """Same weights through the reference torch forward + postprocess."""
+    import torch
+
+    from yoloclip_tpu.utils import refbridge
+
+    S = mcfg.image_size[0]
+    variables = {'params': state.params, 'batch_stats': state.batch_stats}
+    ref = refbridge.load_reference()
+    tmodel = refbridge.build_reference_composite(
+        mcfg, variables, text.shape[0], text, ref=ref)
+    preds = []
+    N = val['images'].shape[0]
+    bs = 16
+    with torch.no_grad():
+        for i in range(0, N, bs):
+            imgs = torch.from_numpy(
+                val['images'][i:i + bs].transpose(0, 3, 1, 2).copy())
+            out = tmodel(imgs)
+            for b in range(imgs.shape[0]):
+                one = {k: out[k][b].numpy()
+                       for k in ('boxes', 'scores', 'class_ids')}
+                dets = refbridge.reference_postprocess(
+                    one, (S, S), 1.0, conf, iou, image_size=(S, S), ref=ref)
+                if dets:
+                    preds.append({
+                        'boxes': np.array([d['box'] for d in dets],
+                                          np.float64)[None],
+                        'scores': np.array([d['score'] for d in dets])[None],
+                        'class_ids': np.array([d['class_id'] for d in dets])[None],
+                    })
+                else:
+                    preds.append({'boxes': np.zeros((1, 0, 4)),
+                                  'scores': np.zeros((1, 0)),
+                                  'class_ids': np.zeros((1, 0), np.int64)})
+    return preds
+
+
+def detection_agreement(a_preds, b_preds, iou_min=0.95):
+    """Fraction of detections matched 1:1 across stacks (same class,
+    IoU >= iou_min, score within 5e-3)."""
+    from yoloclip_tpu.utils.metrics import bbox_iou_matrix
+    matched = total = 0
+    for pa, pb in zip(a_preds, b_preds):
+        A = pa['boxes'][0][pa['class_ids'][0] >= 0]
+        sa = pa['scores'][0][pa['class_ids'][0] >= 0]
+        ca = pa['class_ids'][0][pa['class_ids'][0] >= 0]
+        Bx, sb, cb = pb['boxes'][0], pb['scores'][0], pb['class_ids'][0]
+        total += max(len(A), len(Bx))
+        if len(A) == 0 or len(Bx) == 0:
+            continue
+        iou = bbox_iou_matrix(np.asarray(A, np.float64),
+                              np.asarray(Bx, np.float64))
+        used = np.zeros(len(Bx), bool)
+        for i in range(len(A)):
+            j = int(np.argmax(iou[i] - used * 10.0))
+            if (not used[j] and iou[i, j] >= iou_min and ca[i] == cb[j]
+                    and abs(sa[i] - sb[j]) < 5e-3):
+                used[j] = True
+                matched += 1
+    return matched / max(total, 1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--train-images', type=int, default=256)
+    ap.add_argument('--val-images', type=int, default=64)
+    ap.add_argument('--image-size', type=int, default=160)
+    ap.add_argument('--variant', default='n')
+    ap.add_argument('--steps', type=int, default=1200)
+    ap.add_argument('--batch-size', type=int, default=16)
+    ap.add_argument('--lr', type=float, default=2e-3)
+    ap.add_argument('--conf', type=float, default=0.25)
+    ap.add_argument('--iou', type=float, default=0.45)
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--skip-reference', action='store_true')
+    args = ap.parse_args()
+
+    from yoloclip_tpu.utils.general import enable_compile_cache
+    enable_compile_cache()
+
+    from yoloclip_tpu.data.synth import make_synth_detection_set
+    from yoloclip_tpu.utils.metrics import calculate_map
+
+    print(f'training: {args.steps} steps, {args.train_images} images '
+          f'@{args.image_size}px, variant {args.variant}', flush=True)
+    model, mcfg, state, text = build_train(args)
+
+    val = make_synth_detection_set(args.val_images, seed=1000,
+                                   image_size=args.image_size)
+    targets = [{'boxes': val['boxes'][i][None],
+                'class_ids': val['class_ids'][i][None],
+                'valid_mask': val['valid_mask'][i][None]}
+               for i in range(args.val_images)]
+
+    ours = eval_ours(model, state, val, text, args.conf, args.iou)
+    map50, map50_95 = calculate_map(ours, targets)
+    result = {'metric': 'synthetic_map50', 'value': round(map50, 4),
+              'map50_95': round(map50_95, 4)}
+
+    if not args.skip_reference:
+        from yoloclip_tpu.utils import refbridge
+        if refbridge.reference_available():
+            refp = eval_reference(mcfg, state, val, text, args.conf,
+                                  args.iou)
+            rmap50, rmap50_95 = calculate_map(refp, targets)
+            result.update({
+                'ref_map50': round(rmap50, 4),
+                'ref_map50_95': round(rmap50_95, 4),
+                'map50_gap': round(abs(map50 - rmap50), 4),
+                'detection_agreement': round(
+                    detection_agreement(ours, refp), 4),
+            })
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

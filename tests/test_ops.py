@@ -219,3 +219,33 @@ def test_class_aware_nms_keeps_cross_class_overlaps():
     assert int(ca['count'][0]) == 3
     kept = set(np.asarray(ca['class_ids'][0][:3]).tolist())
     assert kept == {0, 1, 2}
+
+
+def test_letterbox_identity_skip_matches_resize_path():
+    """Target-size inputs take the matmul-free branch; the half-pixel
+    bilinear matrix at src==dst is exactly identity, so values must equal
+    the general path's (and be the plain /255 image)."""
+    from yoloclip_tpu.ops.preprocess import (_bilinear_matrix,
+                                             letterbox_batch)
+    # identity property of the interpolation matrix itself
+    W = _bilinear_matrix(64, 64)
+    np.testing.assert_allclose(W, np.eye(64, dtype=np.float32), atol=1e-7)
+
+    rs = np.random.RandomState(0)
+    imgs = (rs.rand(2, 96, 96, 3) * 255).astype(np.uint8)
+    canvas, scale = letterbox_batch(jnp.asarray(imgs), (96, 96))
+    assert float(scale) == 1.0
+    np.testing.assert_allclose(np.asarray(canvas),
+                               imgs.astype(np.float32) / 255.0, atol=1e-7)
+
+    one, scale1 = letterbox(jnp.asarray(imgs[0]), (96, 96))
+    np.testing.assert_allclose(np.asarray(one), np.asarray(canvas[0]),
+                               atol=1e-7)
+
+    # non-square target-width input: resize happens, then top-left paste
+    wide = (rs.rand(48, 96, 3) * 255).astype(np.uint8)
+    c2, s2 = letterbox(jnp.asarray(wide), (96, 96))
+    assert float(s2) == 1.0
+    np.testing.assert_allclose(np.asarray(c2[:48]),
+                               wide.astype(np.float32) / 255.0, atol=1e-7)
+    assert float(jnp.abs(c2[48:]).max()) == 0.0

@@ -1,28 +1,24 @@
 """Parity against the ACTUAL reference code imported from /root/reference.
 
 This is the non-circular parity contract (round-1 verdict items 1-3): the
-reference's own torch modules run on CPU here once two unavailable imports
-are stubbed -- `clip` (the OpenAI package downloads weights; the offline
-vision forward never calls it) and `cv2` (image IO only; postprocess/NMS
-are pure numpy). Weights flow OUR randomly-initialized flax variables ->
-`export_reference_state_dict` -> the reference composite's
-`load_state_dict`, then both stacks run the same inputs:
+reference's own torch modules run on CPU here (see
+`yoloclip_tpu/utils/refbridge.py` for the clip/cv2 stubbing). Weights flow
+OUR randomly-initialized flax variables -> `export_reference_state_dict` ->
+the reference composite's `load_state_dict`, then both stacks run the same
+inputs:
 
   * `yolo_clip_detector.model.yolo_clip.YOLOCLIP` forward (offline mode,
     the vocabulary matrix injected directly) vs our jitted model -- at
     640px, fp32 AND bf16, batch 2, variants 'n' and 's' (the reference
     crashes on 's' due to its hard-coded I-Pool projections,
-    `model/repvl_pan.py:134-138`; we patch ONLY those three Linear layers
-    to the correct widths and keep every other reference line).
+    `model/repvl_pan.py:134-138`; refbridge patches ONLY those three
+    Linear layers and keeps every other reference line).
   * `yolo_clip_detector.inference.detector.YOLOCLIPDetector._nms` /
     `postprocess_detections` as the NMS oracle on randomized and
     adversarial (tied-score, duplicate-box, suppression-chain) inputs.
 """
 
 from __future__ import annotations
-
-import sys
-import types
 
 import jax
 import jax.numpy as jnp
@@ -34,43 +30,18 @@ from yoloclip_tpu.config import ModelConfig
 from yoloclip_tpu.models.yolo_clip import YOLOCLIP
 from yoloclip_tpu.ops.nms import nms_fixed
 from yoloclip_tpu.ops.preprocess import rescale_boxes
-from yoloclip_tpu.utils.convert import export_reference_state_dict
+from yoloclip_tpu.utils import refbridge
 
 torch.set_grad_enabled(False)
 
-REF_ROOT = '/root/reference'
-
-
-def _install_stubs():
-    if 'clip' not in sys.modules:
-        clip_stub = types.ModuleType('clip')
-
-        class _StubCLIPModel(torch.nn.Module):
-            def encode_text(self, tokens):
-                raise RuntimeError(
-                    'stub CLIP: offline parity tests never encode text')
-
-        clip_stub.load = lambda name, device=None, **kw: (_StubCLIPModel(),
-                                                          lambda im: im)
-        clip_stub.tokenize = lambda texts, context_length=77: torch.zeros(
-            (len(texts), context_length), dtype=torch.long)
-        sys.modules['clip'] = clip_stub
-    try:
-        import cv2  # noqa: F401
-    except ImportError:
-        sys.modules.setdefault('cv2', types.ModuleType('cv2'))
+pytestmark = pytest.mark.skipif(not refbridge.reference_available(),
+                                reason='reference repo not mounted')
 
 
 @pytest.fixture(scope='module')
 def ref():
     """The reference package, imported from /root/reference."""
-    _install_stubs()
-    if REF_ROOT not in sys.path:
-        sys.path.insert(0, REF_ROOT)
-    import yolo_clip_detector.inference.detector as ref_detector
-    import yolo_clip_detector.model.yolo_clip as ref_yolo_clip
-    return types.SimpleNamespace(yolo_clip=ref_yolo_clip,
-                                 detector=ref_detector)
+    return refbridge.load_reference()
 
 
 # ---------------------------------------------------------------------------
@@ -95,31 +66,6 @@ def _jitter_batch_stats(tree, key=[0]):
     return out
 
 
-def _build_reference_model(ref, cfg: ModelConfig, variables, num_classes,
-                           text_np: np.ndarray):
-    ref_model = ref.yolo_clip.YOLOCLIP(
-        backbone_variant=cfg.backbone_variant, offline_mode=True,
-        num_classes=num_classes, reg_max=cfg.reg_max,
-        strides=list(cfg.strides))
-    if cfg.backbone_variant != 'n':
-        # Reference bug #7 (SURVEY §2.9): I-Pool projections hard-code the
-        # 'n'-variant widths 64/128/256 (repvl_pan.py:134-138) so s/m/l
-        # crash in the neck. Patch ONLY those three Linear layers to the
-        # true feature widths; everything else is reference code.
-        fc = cfg.feature_channels()
-        ref_model.neck.image_pooling_attention.projections = \
-            torch.nn.ModuleList(
-                [torch.nn.Linear(c, cfg.embed_dim) for c in fc])
-    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
-          for k, v in export_reference_state_dict(variables, cfg).items()}
-    missing, unexpected = ref_model.load_state_dict(sd, strict=False)
-    assert all('num_batches_tracked' in m for m in missing), missing
-    assert not unexpected, unexpected
-    ref_model.eval()
-    ref_model.offline_vocabulary = torch.from_numpy(text_np)
-    return ref_model
-
-
 def _composite_pair(ref, variant: str, size: int, dtype: str,
                     batch: int = 2, num_classes: int = 7):
     cfg = ModelConfig(backbone_variant=variant, image_size=(size, size),
@@ -136,10 +82,8 @@ def _composite_pair(ref, variant: str, size: int, dtype: str,
     out = jax.jit(lambda v, im, tx: model.apply(v, im, tx))(
         variables, images, text)
 
-    fp32_vars = jax.tree_util.tree_map(
-        lambda x: np.asarray(x, np.float32), variables)
-    ref_model = _build_reference_model(ref, cfg, fp32_vars, num_classes,
-                                       np.asarray(text, np.float32))
+    ref_model = refbridge.build_reference_composite(
+        cfg, variables, num_classes, np.asarray(text, np.float32), ref=ref)
     t_out = ref_model(torch.from_numpy(
         np.asarray(images, np.float32).transpose(0, 3, 1, 2)))
     return out, t_out
@@ -195,15 +139,8 @@ def test_reference_composite_parity_s_variant(ref):
 # ---------------------------------------------------------------------------
 
 def _ref_postprocess(ref, outputs_np, orig_size, scale, conf, iou):
-    det = ref.detector.YOLOCLIPDetector.__new__(
-        ref.detector.YOLOCLIPDetector)
-    det.conf_threshold = conf
-    det.iou_threshold = iou
-    det.image_size = (640, 640)
-    det.class_names = None
-    outputs = {k: torch.from_numpy(v[None].copy())
-               for k, v in outputs_np.items()}
-    return det.postprocess_detections(outputs, orig_size, scale)
+    return refbridge.reference_postprocess(outputs_np, orig_size, scale,
+                                           conf, iou, ref=ref)
 
 
 def _our_postprocess(outputs_np, orig_size, scale, conf, iou):
@@ -259,7 +196,7 @@ def test_nms_oracle_randomized(ref):
 
 
 def test_nms_oracle_suppression_chain(ref):
-    """a>b overlap, b>c overlap, a/c disjoint: greedy keeps a and c."""
+    """a>b overlap, b>c overlap, a/c weak overlap: greedy keeps a and c."""
     boxes = np.array([[0, 0, 100, 100],      # a
                       [40, 0, 140, 100],     # b: IoU(a,b)=0.43 > 0.3
                       [80, 0, 180, 100],     # c: IoU(b,c)=0.43, IoU(a,c)=0.11

@@ -240,3 +240,36 @@ def test_eval_step_with_nms(state_and_batch):
     assert np.isfinite(float(parts['loss']))
     cids = np.asarray(preds['class_ids'])
     assert ((cids >= -1) & (cids < 8)).all()
+
+
+def test_train_step_variant_s():
+    """One clean-mode train step on variant 's' (VERDICT r1 item 9): the
+    reference can't even build 's' end-to-end (I-Pool bug #7); the rebuild
+    must train it."""
+    cfg = small_cfg(model=ModelConfig(backbone_variant='s',
+                                      image_size=(128, 128)),
+                    assigner='topk_center')
+    model = YOLOCLIP(cfg.model)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, cfg, rng,
+                               jnp.zeros((1, 128, 128, 3)),
+                               jnp.zeros((4, 512)))
+    npr = np.random.RandomState(0)
+    B, M, C = 2, 10, 4
+    batch = {
+        'images': jnp.asarray(npr.rand(B, 128, 128, 3), jnp.float32),
+        'boxes': jnp.asarray(npr.rand(B, M, 4) * 100, jnp.float32),
+        'class_ids': jnp.asarray(npr.randint(0, C, (B, M)), jnp.int32),
+        'valid_mask': jnp.ones((B, M), bool),
+    }
+    text = jax.random.normal(rng, (B, C, 512))
+    step = jax.jit(make_train_step(cfg))
+    new_state, parts = step(state, batch, text)
+    assert np.isfinite(float(parts['loss']))
+    assert int(new_state.step) == 1
+    # params actually moved
+    delta = jax.tree_util.tree_reduce(
+        lambda acc, p: acc + float(jnp.abs(p).sum()),
+        jax.tree_util.tree_map(lambda a, b: a - b, new_state.params,
+                               state.params), 0.0)
+    assert delta > 0

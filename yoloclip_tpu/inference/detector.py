@@ -38,6 +38,22 @@ from yoloclip_tpu.utils.checkpoint import load_checkpoint
 logger = logging.getLogger(__name__)
 
 
+def _pack_detections(out: Dict[str, jax.Array]) -> jax.Array:
+    """NMS dict -> ONE (max_det + 1, 6) float32 array: row 0 carries the
+    count, each following row is [x1, y1, x2, y2, score, class_id].
+
+    Through a remote-TPU tunnel every device->host fetch costs a fixed
+    round trip (~30 ms here); packing makes `detect()` pay exactly one
+    instead of four (count + boxes + scores + class_ids)."""
+    packed = jnp.concatenate([
+        out['boxes'].astype(jnp.float32),
+        out['scores'][:, None].astype(jnp.float32),
+        out['class_ids'][:, None].astype(jnp.float32)], axis=1)
+    head = jnp.zeros((1, 6), jnp.float32)
+    head = head.at[0, 0].set(out['count'].astype(jnp.float32))
+    return jnp.concatenate([head, packed], axis=0)
+
+
 class YOLOCLIPDetector:
     def __init__(self,
                  model_path: Optional[str] = None,
@@ -148,11 +164,10 @@ class YOLOCLIPDetector:
             out = model.apply(variables, canvas[None], text_embeddings,
                               fused_scores=fused)
             boxes = rescale_boxes(out['boxes'][0], scale, orig_hw)
-            return nms_fixed(boxes, out['scores'][0], conf_threshold,
-                             iou_threshold, topk=topk,
-                             max_detections=max_det,
-                             class_ids=out['class_ids'][0],
-                             class_agnostic=agnostic)
+            return _pack_detections(nms_fixed(
+                boxes, out['scores'][0], conf_threshold,
+                iou_threshold, topk=topk, max_detections=max_det,
+                class_ids=out['class_ids'][0], class_agnostic=agnostic))
 
         return run
 
@@ -178,11 +193,10 @@ class YOLOCLIPDetector:
             boxes = out['boxes'][0] / scale
             hi = jnp.concatenate([orig_wh, orig_wh]).astype(boxes.dtype)
             boxes = jnp.clip(boxes, jnp.zeros(4, boxes.dtype), hi)
-            return nms_fixed(boxes, out['scores'][0], conf_threshold,
-                             iou_threshold, topk=topk,
-                             max_detections=max_det,
-                             class_ids=out['class_ids'][0],
-                             class_agnostic=agnostic)
+            return _pack_detections(nms_fixed(
+                boxes, out['scores'][0], conf_threshold,
+                iou_threshold, topk=topk, max_detections=max_det,
+                class_ids=out['class_ids'][0], class_agnostic=agnostic))
 
         return run
 
@@ -293,21 +307,22 @@ class YOLOCLIPDetector:
         use_host = hp in ('auto', True) and self._host_letterbox_available()
         if use_host:
             canvas, scale = self._host_letterbox(orig)
-            out = self._detect_canvas_fn(
+            packed = self._detect_canvas_fn(
                 self.variables, jnp.asarray(canvas), text,
                 jnp.float32(scale),
                 jnp.asarray([orig_hw[1], orig_hw[0]], jnp.float32),
                 jnp.float32(self.conf_threshold),
                 jnp.float32(self.iou_threshold))
         else:
-            out = self._detect_fn(self.variables, jnp.asarray(orig), text,
-                                  tuple(orig_hw),
-                                  jnp.float32(self.conf_threshold),
-                                  jnp.float32(self.iou_threshold))
-        n = int(out['count'])
-        boxes = np.asarray(out['boxes'])[:n]
-        scores = np.asarray(out['scores'])[:n]
-        class_ids = np.asarray(out['class_ids'])[:n]
+            packed = self._detect_fn(self.variables, jnp.asarray(orig), text,
+                                     tuple(orig_hw),
+                                     jnp.float32(self.conf_threshold),
+                                     jnp.float32(self.iou_threshold))
+        packed = np.asarray(packed)        # the ONE device->host fetch
+        n = int(packed[0, 0])
+        boxes = packed[1:1 + n, :4]
+        scores = packed[1:1 + n, 4]
+        class_ids = packed[1:1 + n, 5].astype(np.int64)
 
         detections = []
         for i in range(n):
