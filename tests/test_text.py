@@ -271,3 +271,136 @@ def test_detector_require_text_quality_raises():
                           class_names=('cat',), require_text_quality=True)
     with pytest.raises(RuntimeError, match='DEGRADED text pipeline'):
         YOLOCLIPDetector(config=cfg)
+
+
+def test_text_tower_matches_huggingface_clip():
+    """Architecture oracle for the text tower (round-1 verdict: component
+    #6 was 'never verified against real CLIP'). transformers'
+    CLIPTextModelWithProjection implements the same public architecture;
+    its random-init weights are remapped to the OpenAI checkpoint layout
+    and loaded through `convert_openai_state_dict`, then both towers must
+    produce equal embeddings -- pinning pre-LN block structure, causal
+    masking, QuickGELU, EOT pooling, and the projection matmul against an
+    independent implementation."""
+    transformers = pytest.importorskip('transformers')
+    import torch
+
+    L, W = 4, 512
+    hf_cfg = transformers.CLIPTextConfig(
+        hidden_size=W, intermediate_size=4 * W, num_hidden_layers=L,
+        num_attention_heads=8, projection_dim=512,
+        max_position_embeddings=77, vocab_size=49408,
+        eos_token_id=49407, hidden_act='quick_gelu')
+    torch.manual_seed(0)
+    hf = transformers.CLIPTextModelWithProjection(hf_cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+
+    # HF layout -> OpenAI checkpoint layout
+    openai = {
+        'token_embedding.weight':
+            sd['text_model.embeddings.token_embedding.weight'],
+        'positional_embedding':
+            sd['text_model.embeddings.position_embedding.weight'],
+        'ln_final.weight': sd['text_model.final_layer_norm.weight'],
+        'ln_final.bias': sd['text_model.final_layer_norm.bias'],
+        'text_projection': sd['text_projection.weight'].T,
+    }
+    for i in range(L):
+        h = f'text_model.encoder.layers.{i}.'
+        o = f'transformer.resblocks.{i}.'
+        openai[o + 'ln_1.weight'] = sd[h + 'layer_norm1.weight']
+        openai[o + 'ln_1.bias'] = sd[h + 'layer_norm1.bias']
+        openai[o + 'ln_2.weight'] = sd[h + 'layer_norm2.weight']
+        openai[o + 'ln_2.bias'] = sd[h + 'layer_norm2.bias']
+        openai[o + 'attn.in_proj_weight'] = np.concatenate(
+            [sd[h + f'self_attn.{p}_proj.weight'] for p in 'qkv'], 0)
+        openai[o + 'attn.in_proj_bias'] = np.concatenate(
+            [sd[h + f'self_attn.{p}_proj.bias'] for p in 'qkv'], 0)
+        openai[o + 'attn.out_proj.weight'] = sd[h + 'self_attn.out_proj.weight']
+        openai[o + 'attn.out_proj.bias'] = sd[h + 'self_attn.out_proj.bias']
+        openai[o + 'mlp.c_fc.weight'] = sd[h + 'mlp.fc1.weight']
+        openai[o + 'mlp.c_fc.bias'] = sd[h + 'mlp.fc1.bias']
+        openai[o + 'mlp.c_proj.weight'] = sd[h + 'mlp.fc2.weight']
+        openai[o + 'mlp.c_proj.bias'] = sd[h + 'mlp.fc2.bias']
+
+    ours = CLIPTextTransformer(layers=L)
+    params = convert_openai_state_dict(openai, layers=L)
+
+    # SOT + random ids + one EOT + zero padding (real CLIP token framing;
+    # EOT is the max id so OpenAI's argmax pooling and HF's
+    # first-eos pooling pick the same position)
+    rs = np.random.RandomState(1)
+    B = 3
+    tokens = np.zeros((B, 77), np.int64)
+    for b in range(B):
+        n = rs.randint(3, 20)
+        tokens[b, 0] = 49406
+        tokens[b, 1:n] = rs.randint(1, 49406, n - 1)
+        tokens[b, n] = 49407
+
+    with torch.no_grad():
+        theirs = hf(input_ids=torch.from_numpy(tokens)).text_embeds.numpy()
+    mine = np.asarray(ours.apply({'params': params},
+                                 jnp.asarray(tokens, jnp.int32)))
+    np.testing.assert_allclose(mine, theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_tokenizer_bpe_matches_huggingface_clip(tmp_path):
+    """BPE-algorithm oracle: the same synthetic merge table drives both
+    transformers.CLIPTokenizer (an independent implementation of CLIP's
+    byte-level BPE) and our tokenizer; token-id sequences must be equal.
+    ASCII-only corpus: without ftfy installed the HF slow tokenizer's
+    cleanup fallback (BasicTokenizer) deviates from OpenAI's on CJK and
+    accents, while ASCII text is handled identically."""
+    transformers = pytest.importorskip('transformers')
+    import json as _json
+
+    from yoloclip_tpu.text.tokenizer import VOCAB_SIZE, bytes_to_unicode
+
+    merges = [('t', 'h'), ('th', 'e</w>'), ('i', 'n'), ('in', 'g</w>'),
+              ('a', 'n'), ('an', 'd</w>'), ('e', 'r</w>'), ('o', 'u'),
+              ('c', 'a'), ('ca', 't</w>'), ('d', 'o'), ('do', 'g</w>'),
+              ('p', 'h'), ('ph', 'o'), ('pho', 't'), ('phot', 'o</w>'),
+              ('a</w>', ''), ('o', 'f</w>'), ('s', 't'), ('st', 'r'),
+              ('e', 'e'), ('ee', 't</w>'), ('w', 'h'), ('r', 'e</w>')]
+    merges = [m for m in merges if all(m)]   # drop the degenerate pair
+
+    # vocab.json in OUR layout: bytes, bytes</w>, merges, specials at the
+    # fixed CLIP ids
+    byte_syms = list(bytes_to_unicode().values())
+    vocab = {}
+    for i, s in enumerate(byte_syms):
+        vocab[s] = i
+    for i, s in enumerate(byte_syms):
+        vocab[s + '</w>'] = 256 + i
+    for i, m in enumerate(merges):
+        vocab[''.join(m)] = 512 + i
+    vocab['<|startoftext|>'] = VOCAB_SIZE - 2
+    vocab['<|endoftext|>'] = VOCAB_SIZE - 1
+    vocab_file = tmp_path / 'vocab.json'
+    vocab_file.write_text(_json.dumps(vocab))
+    merges_file = tmp_path / 'merges.txt'
+    merges_file.write_text('#version: 0.2\n'
+                           + '\n'.join(f'{a} {b}' for a, b in merges) + '\n')
+
+    hf = transformers.CLIPTokenizer(str(vocab_file), str(merges_file))
+    ours = CLIPTokenizer(merges=merges)
+
+    corpus = [
+        'a photo of a cat', 'the dog in the street', 'thththe', 'cat dog',
+        "don't stop", 'running and jumping', 'x-ray scanner, 35mm!',
+        'ouch... there', '"quoted" (parens) [brackets]', 'a', '',
+        'wwwhhh streetcat photo-booth', '42 cats & 7 dogs',
+    ]
+    rs = np.random.RandomState(0)
+    letters = 'abcdefghijklmnopqrstuvwxyz'
+    for _ in range(30):
+        corpus.append(' '.join(
+            ''.join(rs.choice(list(letters))
+                    for _ in range(rs.randint(1, 9)))
+            for _ in range(rs.randint(1, 6))))
+
+    for text in corpus:
+        theirs = hf(text)['input_ids']          # [SOT, ..., EOT]
+        mine = [ours.sot] + ours.encode(text) + [ours.eot]
+        assert mine == theirs, (text, mine, theirs)
