@@ -65,3 +65,27 @@ def test_streaming_sharded_over_mesh(setup):
         out = det.step(frames)
     assert out['boxes'].shape == (8, 8, 4)
     assert np.isfinite(np.asarray(out['scores'])).all()
+
+
+def test_image_dir_source_round_robin(tmp_path):
+    """cli/stream --images source: native-or-fallback decode, letterbox to
+    the stream frame size, round-robin over the directory."""
+    PIL = pytest.importorskip('PIL')
+    from PIL import Image
+    from yoloclip_tpu.cli.stream import _image_dir_source
+    rs = np.random.RandomState(0)
+    imgs = []
+    for i in range(3):
+        a = (rs.rand(60, 80 + 10 * i, 3) * 255).astype(np.uint8)
+        Image.fromarray(a).save(str(tmp_path / f'f{i}.png'))
+        imgs.append(a)
+
+    src = _image_dir_source(str(tmp_path), n_streams=2, hw=(64, 96))
+    f0 = src(0)
+    f1 = src(1)
+    assert f0.shape == (2, 64, 96, 3) and f0.dtype == np.uint8
+    # step 0 serves files (0, 1); step 1 serves (2, 0) -- round robin
+    np.testing.assert_array_equal(f1[1], f0[0])
+    assert not np.array_equal(f0[0], f0[1])
+    with pytest.raises(FileNotFoundError):
+        _image_dir_source(str(tmp_path / 'nope_dir_missing'), 1, (64, 96))

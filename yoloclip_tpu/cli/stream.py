@@ -6,6 +6,10 @@
     # real video files (one per stream, cv2 required):
     python -m yoloclip_tpu.cli.stream --videos a.mp4,b.mp4 --classes person
 
+    # directory of jpg/png frames, decoded per step by the native loader
+    # (pays real host acquisition, unlike the synthetic source):
+    python -m yoloclip_tpu.cli.stream --images frames/ --streams 4
+
 No reference equivalent (single-image only there); this fronts
 `yoloclip_tpu/inference/streaming.py` -- one jitted program per step over
 all streams (device letterbox -> forward -> batched NMS), frame
@@ -30,6 +34,48 @@ def _synthetic_source(n_streams: int, hw):
     def source(step: int) -> Optional[np.ndarray]:
         # cheap per-step variation without re-randomizing 50 MB
         return np.roll(frame, step, axis=2)
+    return source
+
+
+def _image_dir_source(directory: str, n_streams: int, hw):
+    """Stream JPEG/PNG files round-robin via the native C++ loader --
+    the honest full pipeline: host decode + host letterbox-to-frame-size
+    are PAID per step (unlike the synthetic source)."""
+    import os
+
+    from yoloclip_tpu import native
+    exts = ('.jpg', '.jpeg', '.png')
+    paths = sorted(os.path.join(directory, f) for f in os.listdir(directory)
+                   if f.lower().endswith(exts))
+    if not paths:
+        raise FileNotFoundError(f'no jpg/png files in {directory}')
+
+    def decode(path: str) -> np.ndarray:
+        img = (native.decode_image(path) if native.available()
+               else _imread(path))
+        if img.shape[:2] != hw:
+            canvas, _ = (native.letterbox_u8(img, hw)
+                         if native.available() else _py_letterbox(img, hw))
+            return canvas
+        return img
+
+    def _imread(path):
+        from yoloclip_tpu.data.coco import _imread_rgb
+        return _imread_rgb(path)
+
+    def _py_letterbox(img, hw):
+        from yoloclip_tpu.data.coco import _resize
+        h, w = img.shape[:2]
+        s = min(hw[0] / h, hw[1] / w)
+        rh, rw = max(int(h * s), 1), max(int(w * s), 1)
+        canvas = np.zeros(hw + (3,), np.uint8)
+        canvas[:rh, :rw] = _resize(img, (rw, rh))
+        return canvas, s
+
+    def source(step: int) -> Optional[np.ndarray]:
+        idx = [(step * n_streams + i) % len(paths)
+               for i in range(n_streams)]
+        return np.stack([decode(paths[j]) for j in idx])
     return source
 
 
@@ -74,6 +120,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument('--classes', default='person,car')
     ap.add_argument('--videos', default=None,
                     help='comma-separated video files (overrides --streams)')
+    ap.add_argument('--images', default=None,
+                    help='directory of jpg/png frames streamed round-robin '
+                         'through the native loader (real host decode)')
     ap.add_argument('--model', default=None, help='checkpoint dir')
     ap.add_argument('--conf', type=float, default=0.25)
     ap.add_argument('--text-checkpoint', default=None)
@@ -95,6 +144,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         paths = args.videos.split(',')
         n_streams = len(paths)
         source = _video_source(paths, (h, w))
+    elif args.images:
+        n_streams = args.streams
+        source = _image_dir_source(args.images, n_streams, (h, w))
     else:
         n_streams = args.streams
         source = _synthetic_source(n_streams, (h, w))
