@@ -1,0 +1,177 @@
+"""W8A8 int8 deploy-path quantization (yoloclip_tpu/ops/quantize.py).
+
+No reference equivalent (the reference is fp32 torch end-to-end); these
+tests pin the quantization math itself (BN fold, per-channel scales,
+symmetric activation quant) and the end-to-end agreement between the int8
+graph and the float graph it was derived from.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yoloclip_tpu.config import ModelConfig
+from yoloclip_tpu.models.layers import ConvBlock
+from yoloclip_tpu.models.yolo_clip import YOLOCLIP
+from yoloclip_tpu.ops.quantize import (calibrate_amax, quantize_model,
+                                       quantize_variables,
+                                       build_quant_forward)
+
+
+def _convblock_pair(k=3, cin=16, cout=32, stride=1, seed=0):
+    """Float ConvBlock with non-trivial BN stats + its int8 twin."""
+    rng = jax.random.PRNGKey(seed)
+    npr = np.random.RandomState(seed)
+    block = ConvBlock(cout, k, stride)
+    x = jnp.asarray(npr.randn(2, 16, 16, cin) * 0.5, jnp.float32)
+    variables = jax.tree.map(np.asarray, block.init(rng, x))
+    # randomize BN so folding is actually exercised
+    variables['params']['bn']['scale'] = npr.rand(cout).astype(np.float32) + .5
+    variables['params']['bn']['bias'] = npr.randn(cout).astype(np.float32) * .1
+    variables['batch_stats']['bn']['mean'] = npr.randn(cout).astype(np.float32) * .1
+    variables['batch_stats']['bn']['var'] = npr.rand(cout).astype(np.float32) + .5
+    variables['params']['conv']['kernel'] = (
+        npr.randn(k, k, cin, cout).astype(np.float32) * 0.2)
+    return block, variables, x
+
+
+def test_convblock_int8_matches_float():
+    block, variables, x = _convblock_pair()
+    y_f = block.apply(variables, x)
+
+    calib = ConvBlock(block.features, block.kernel_size, block.stride,
+                      quant='calib')
+    _, state = calib.apply(variables, x, mutable=['intermediates'])
+    amax = {'in_amax': np.asarray(state['intermediates']['in_amax'])}
+    assert amax['in_amax'] == pytest.approx(float(jnp.abs(x).max()))
+
+    qvars = quantize_variables(variables, amax)
+    qp = qvars['params']
+    assert set(qp) == {'wq', 'wscale', 'qbias', 'act_scale'}
+    assert qp['wq'].dtype == np.int8
+    assert np.abs(qp['wq']).max() <= 127
+
+    qblock = ConvBlock(block.features, block.kernel_size, block.stride,
+                       quant='int8')
+    y_q = qblock.apply(qvars, x)
+    # 8-bit symmetric quant on well-conditioned data: tight agreement
+    err = np.abs(np.asarray(y_q) - np.asarray(y_f))
+    scale = np.abs(np.asarray(y_f)).max()
+    assert err.max() / scale < 0.05
+    assert err.mean() / scale < 0.005
+
+
+def test_quantize_variables_fold_math():
+    """wq * wscale must reconstruct the BN-folded weights to 1/254 rel."""
+    block, variables, x = _convblock_pair(k=1, cin=8, cout=8)
+    qvars = quantize_variables(variables, {'in_amax': np.float32(1.0)})
+    k = variables['params']['conv']['kernel']
+    g = variables['params']['bn']['scale']
+    b = variables['params']['bn']['bias']
+    m = variables['batch_stats']['bn']['mean']
+    v = variables['batch_stats']['bn']['var']
+    s = g / np.sqrt(v + 1e-5)
+    w_folded = k * s
+    w_rec = qvars['params']['wq'].astype(np.float32) * qvars['params']['wscale']
+    assert np.abs(w_rec - w_folded).max() <= (
+        np.abs(w_folded).max(axis=(0, 1, 2)) / 254 + 1e-9).max()
+    np.testing.assert_allclose(qvars['params']['qbias'], b - m * s, rtol=1e-6)
+
+
+def test_full_model_int8_agreement():
+    """int8 YOLO-CLIP stays close to its float parent on random weights."""
+    cfg = ModelConfig(backbone_variant='n', image_size=(160, 160))
+    model = YOLOCLIP(cfg)
+    npr = np.random.RandomState(0)
+    images = jnp.asarray(npr.rand(2, 160, 160, 3), jnp.float32)
+    text = npr.randn(8, 512).astype(np.float32)
+    text = jnp.asarray(text / np.linalg.norm(text, axis=-1, keepdims=True))
+    variables = model.init(jax.random.PRNGKey(0), images, text)
+
+    out_f = model.apply(variables, images, text)
+    qmodel, qvars = quantize_model(cfg, variables, [(images, text)])
+    assert 'batch_stats' not in qvars      # every BN folded away
+    out_q = qmodel.apply(qvars, images, text)
+
+    ef = np.asarray(out_f['obj_embeddings'])
+    eq = np.asarray(out_q['obj_embeddings'])
+    cos = (ef * eq).sum(-1) / (
+        np.linalg.norm(ef, axis=-1) * np.linalg.norm(eq, axis=-1) + 1e-9)
+    assert np.median(cos) > 0.99
+    assert np.percentile(cos, 5) > 0.95
+
+    # scores live on the cosine scale [-1, 1]
+    ds = np.abs(np.asarray(out_f['scores']) - np.asarray(out_q['scores']))
+    assert np.median(ds) < 0.01
+    agree = (np.asarray(out_f['class_ids']) ==
+             np.asarray(out_q['class_ids'])).mean()
+    assert agree > 0.9
+
+    bf = np.asarray(out_f['boxes'])
+    bq = np.asarray(out_q['boxes'])
+    # relative error: the exp-wh decode on random weights produces huge
+    # boxes, so absolute pixel error is meaningless at this init
+    rel = np.abs(bf - bq) / (1.0 + np.abs(bf))
+    assert np.median(rel) < 0.01
+
+
+def test_calibrate_amax_reduces_over_batches():
+    cfg = ModelConfig(backbone_variant='n', image_size=(160, 160))
+    import dataclasses
+    calib_model = YOLOCLIP(dataclasses.replace(cfg, quant='calib'))
+    model = YOLOCLIP(cfg)
+    npr = np.random.RandomState(1)
+    text = jnp.asarray(npr.randn(4, 512), jnp.float32)
+    img_small = jnp.asarray(npr.rand(1, 160, 160, 3) * 0.1, jnp.float32)
+    img_big = jnp.asarray(npr.rand(1, 160, 160, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img_big, text)
+
+    a1 = calibrate_amax(calib_model, variables, [(img_small, text)])
+    a2 = calibrate_amax(calib_model, variables,
+                        [(img_small, text), (img_big, text)])
+    # stem input amax: the running max must see the bigger batch
+    stem1 = a1['backbone']['stem']['in_amax']
+    stem2 = a2['backbone']['stem']['in_amax']
+    assert stem2 >= stem1
+    assert stem2 == pytest.approx(float(img_big.max()))
+
+
+def test_detector_quantize_int8_end_to_end():
+    """quantize_int8 swaps the serving model and detect() keeps its contract."""
+    from yoloclip_tpu.config import InferenceConfig
+    from yoloclip_tpu.inference.detector import YOLOCLIPDetector
+
+    cfg = InferenceConfig(
+        model=ModelConfig(backbone_variant='n', image_size=(160, 160)),
+        class_names=('cat', 'dog', 'bus'), conf_threshold=-10.0,
+        nms_topk=64, max_detections=16)
+    det = YOLOCLIPDetector(config=cfg)
+    npr = np.random.RandomState(0)
+    frame = (npr.rand(120, 160, 3) * 255).astype(np.uint8)
+
+    base = det.detect(frame)
+    det.quantize_int8(frame[None])
+    assert det.quantized
+    out = det.detect(frame)
+    assert len(out) > 0 and len(base) > 0
+    for d in out:
+        assert set(d) == {'box', 'score', 'class_id', 'class_name'}
+        assert 0 <= d['class_id'] < 3
+    # batched path runs on the quantized graph too
+    batch = det.detect_batch(np.stack([frame, frame]))
+    assert int(np.asarray(batch['count'])[0]) > 0
+
+
+def test_build_quant_forward_jits_and_runs():
+    cfg = ModelConfig(backbone_variant='n', image_size=(160, 160))
+    model = YOLOCLIP(cfg)
+    npr = np.random.RandomState(2)
+    images = jnp.asarray(npr.rand(2, 160, 160, 3), jnp.float32)
+    text = jnp.asarray(npr.randn(6, 512), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), images, text)
+
+    fwd = build_quant_forward(cfg, variables, text, images)
+    out = fwd(images)
+    assert out['boxes'].shape == (2, cfg.num_anchors(), 4)
+    assert np.isfinite(np.asarray(out['scores'])).all()

@@ -111,6 +111,45 @@ class YOLOCLIPDetector:
         self._detect_fn = self._build_detect_fn()
         self._detect_canvas_fn = self._build_detect_canvas_fn()
         self._detect_batch_fn = self._build_detect_batch_fn()
+        self.quantized = False
+
+    def quantize_int8(self, calib_images) -> None:
+        """Swap the serving model for its W8A8 int8 twin (ops/quantize.py).
+
+        calib_images: (N, H, W, 3) uint8/float frames (any same-size
+        resolution) used to calibrate activation scales; they run through
+        the standard letterbox to the model canvas first. The full serve
+        graph is kept (I-Pool included, in float) -- only the conv path
+        quantizes -- so online prompts and vocabulary swaps keep working.
+        Irreversible on this instance; build a new detector for float.
+        """
+        import dataclasses
+
+        from yoloclip_tpu.models.yolo_clip import YOLOCLIP
+        from yoloclip_tpu.ops.preprocess import letterbox_batch
+        from yoloclip_tpu.ops.quantize import quantize_model
+
+        imgs = jnp.asarray(np.asarray(calib_images))
+        if imgs.ndim == 3:
+            imgs = imgs[None]
+        canvases, _ = letterbox_batch(imgs, self.image_size)
+        if self.offline_vocabulary is not None:
+            text = self.offline_vocabulary
+        else:   # calibration only needs a plausible text input
+            text = jax.random.normal(
+                jax.random.PRNGKey(0),
+                (len(self.class_names) or 80, self.model_cfg.embed_dim))
+            text = text / jnp.linalg.norm(text, axis=-1, keepdims=True)
+
+        _, qvars = quantize_model(self.model_cfg, self.variables,
+                                  [(canvases, text)])
+        self.model_cfg = dataclasses.replace(self.model_cfg, quant='int8')
+        self.model = YOLOCLIP(self.model_cfg)
+        self.variables = qvars
+        self.quantized = True
+        self._detect_fn = self._build_detect_fn()
+        self._detect_canvas_fn = self._build_detect_canvas_fn()
+        self._detect_batch_fn = self._build_detect_batch_fn()
 
     def _check_text_quality(self) -> None:
         issues = self.text_encoder.quality_issues()

@@ -23,6 +23,7 @@ from yoloclip_tpu.models.layers import ConvBlock, CSPLayer, SPPF
 class YOLOv8Backbone(nn.Module):
     variant: str = 'n'
     dtype: Any = jnp.float32
+    quant: str = 'none'
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
@@ -32,21 +33,21 @@ class YOLOv8Backbone(nn.Module):
         dm = VARIANT_CONFIGS[self.variant]['depth']
         ch = [max(int(c * wm), 16) for c in [64, 128, 256, 512, 1024]]
         dp = [max(int(d * dm), 1) for d in [1, 2, 4, 8]]
-        dt = self.dtype
+        dt, q = self.dtype, self.quant
 
-        x = ConvBlock(ch[0], 3, 2, dtype=dt, name='stem')(x, train)
+        x = ConvBlock(ch[0], 3, 2, dtype=dt, quant=q, name='stem')(x, train)
 
-        x = ConvBlock(ch[1], 3, 2, dtype=dt, name='stage1_conv')(x, train)
-        x = CSPLayer(ch[1], dp[0], dtype=dt, name='stage1_csp')(x, train)
+        x = ConvBlock(ch[1], 3, 2, dtype=dt, quant=q, name='stage1_conv')(x, train)
+        x = CSPLayer(ch[1], dp[0], dtype=dt, quant=q, name='stage1_csp')(x, train)
 
-        x = ConvBlock(ch[2], 3, 2, dtype=dt, name='stage2_conv')(x, train)
-        c3 = CSPLayer(ch[2], dp[1], dtype=dt, name='stage2_csp')(x, train)
+        x = ConvBlock(ch[2], 3, 2, dtype=dt, quant=q, name='stage2_conv')(x, train)
+        c3 = CSPLayer(ch[2], dp[1], dtype=dt, quant=q, name='stage2_csp')(x, train)
 
-        x = ConvBlock(ch[3], 3, 2, dtype=dt, name='stage3_conv')(c3, train)
-        c4 = CSPLayer(ch[3], dp[2], dtype=dt, name='stage3_csp')(x, train)
+        x = ConvBlock(ch[3], 3, 2, dtype=dt, quant=q, name='stage3_conv')(c3, train)
+        c4 = CSPLayer(ch[3], dp[2], dtype=dt, quant=q, name='stage3_csp')(x, train)
 
-        x = ConvBlock(ch[4], 3, 2, dtype=dt, name='stage4_conv')(c4, train)
-        x = CSPLayer(ch[4], dp[3], dtype=dt, name='stage4_csp')(x, train)
-        c5 = SPPF(ch[4], ch[4], 5, dtype=dt, name='stage4_sppf')(x, train)
+        x = ConvBlock(ch[4], 3, 2, dtype=dt, quant=q, name='stage4_conv')(c4, train)
+        x = CSPLayer(ch[4], dp[3], dtype=dt, quant=q, name='stage4_csp')(x, train)
+        c5 = SPPF(ch[4], ch[4], 5, dtype=dt, quant=q, name='stage4_sppf')(x, train)
 
         return c3, c4, c5

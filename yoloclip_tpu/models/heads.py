@@ -37,6 +37,7 @@ class TextContrastiveHead(nn.Module):
     cls_alpha: float = 1.0
     cls_beta: float = 0.0
     dtype: Any = jnp.float32
+    quant: str = 'none'
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
@@ -48,15 +49,19 @@ class TextContrastiveHead(nn.Module):
         (`model/yolo_clip.py:179` discards it); we keep the parameters for
         checkpoint-surface parity but skip the FLOPs unless asked.
         """
-        dt = self.dtype
-        h = ConvBlock(self.hidden_dim, 3, dtype=dt, name='obj_0')(x, train)
-        h = ConvBlock(self.hidden_dim, 3, dtype=dt, name='obj_1')(h, train)
+        dt, q = self.dtype, self.quant
+        h = ConvBlock(self.hidden_dim, 3, dtype=dt, quant=q,
+                      name='obj_0')(x, train)
+        h = ConvBlock(self.hidden_dim, 3, dtype=dt, quant=q,
+                      name='obj_1')(h, train)
         obj = nn.Conv(self.embed_dim, (1, 1), dtype=dt,
                       param_dtype=jnp.float32, name='obj_2')(h)
         box = None
         if with_box:
-            b = ConvBlock(self.hidden_dim, 3, dtype=dt, name='box_0')(x, train)
-            b = ConvBlock(self.hidden_dim, 3, dtype=dt, name='box_1')(b, train)
+            b = ConvBlock(self.hidden_dim, 3, dtype=dt, quant=q,
+                          name='box_0')(x, train)
+            b = ConvBlock(self.hidden_dim, 3, dtype=dt, quant=q,
+                          name='box_1')(b, train)
             box = nn.Conv(4 * (self.reg_max + 1), (1, 1), dtype=dt,
                           param_dtype=jnp.float32, name='box_2')(b)
         return obj, box
@@ -94,18 +99,19 @@ class BoxHead(nn.Module):
     hidden_dim: int = 256
     reg_max: int = 16
     dtype: Any = jnp.float32
+    quant: str = 'none'
 
     @nn.compact
     def __call__(self, features: Sequence[jax.Array], train: bool = False
                  ) -> List[jax.Array]:
         """features: list of (B,H,W,C) -> list of raw (B,H,W,4*(reg_max+1))."""
         assert len(features) == self.num_levels
-        dt = self.dtype
+        dt, q = self.dtype, self.quant
         preds = []
         for i, feat in enumerate(features):
-            h = ConvBlock(self.hidden_dim, 3, dtype=dt,
+            h = ConvBlock(self.hidden_dim, 3, dtype=dt, quant=q,
                           name=f'box_convs_{i}_0')(feat, train)
-            h = ConvBlock(self.hidden_dim, 3, dtype=dt,
+            h = ConvBlock(self.hidden_dim, 3, dtype=dt, quant=q,
                           name=f'box_convs_{i}_1')(h, train)
             p = nn.Conv(4 * (self.reg_max + 1), (1, 1), dtype=dt,
                         param_dtype=jnp.float32,

@@ -22,16 +22,56 @@ class ConvBlock(nn.Module):
 
     Ref: `/root/reference/yolo_clip_detector/model/backbones/yolov8.py:9-29`
     (same block re-declared in repvl_pan.py / heads). padding = k // 2.
+
+    quant ('none' | 'calib' | 'int8') selects the W8A8 deploy path
+    (`yoloclip_tpu/ops/quantize.py`). The detect pipeline is
+    HBM-bandwidth-bound on TPU (benchmarks/RESULTS.md roofline), so int8
+    activations/weights nearly halve the byte traffic and the s8xs8->s32
+    conv runs at the MXU's doubled int8 rate:
+      * 'calib': float path, but sow the input absmax into the
+        'intermediates' collection (reduce=max over calls) for scale fitting.
+      * 'int8': params are {wq int8 (BN pre-folded, per-out-channel scales),
+        wscale, qbias, act_scale} produced by `quantize_variables`; the
+        block quantizes its input symmetrically (zero-point 0, so SAME
+        zero-padding is exact), convolves in int8, and dequantizes + SiLU
+        in fp32. Interface stays float-in/float-out -- XLA fuses the
+        requantize of the next block into this block's epilogue, so the
+        materialized inter-layer buffer is int8.
     """
 
     features: int
     kernel_size: int = 3
     stride: int = 1
     dtype: Dtype = jnp.float32
+    quant: str = 'none'
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         p = self.kernel_size // 2
+        if self.quant == 'int8':
+            k, cin = self.kernel_size, x.shape[-1]
+            wq = self.param('wq', nn.initializers.zeros,
+                            (k, k, cin, self.features), jnp.int8)
+            wscale = self.param('wscale', nn.initializers.ones,
+                                (self.features,), jnp.float32)
+            qbias = self.param('qbias', nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+            act_scale = self.param('act_scale', nn.initializers.ones,
+                                   (), jnp.float32)
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / act_scale),
+                          -127, 127).astype(jnp.int8)
+            acc = jax.lax.conv_general_dilated(
+                xq, wq, (self.stride, self.stride), ((p, p), (p, p)),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * (wscale * act_scale) + qbias
+            return nn.silu(y).astype(self.dtype)
+
+        if self.quant == 'calib':
+            self.sow('intermediates', 'in_amax',
+                     jnp.max(jnp.abs(x)).astype(jnp.float32),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.zeros((), jnp.float32))
         x = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
@@ -63,11 +103,14 @@ class DarkBottleneck(nn.Module):
     features: int
     shortcut: bool = True
     dtype: Dtype = jnp.float32
+    quant: str = 'none'
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        y = ConvBlock(self.features // 2, 1, dtype=self.dtype, name='cv1')(x, train)
-        y = ConvBlock(self.features, 3, dtype=self.dtype, name='cv2')(y, train)
+        y = ConvBlock(self.features // 2, 1, dtype=self.dtype,
+                      quant=self.quant, name='cv1')(x, train)
+        y = ConvBlock(self.features, 3, dtype=self.dtype,
+                      quant=self.quant, name='cv2')(y, train)
         if self.shortcut and x.shape[-1] == self.features:
             return x + y
         return y
@@ -82,17 +125,21 @@ class CSPLayer(nn.Module):
     features: int
     n_bottlenecks: int = 1
     dtype: Dtype = jnp.float32
+    quant: str = 'none'
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         c_ = self.features // 2
-        y1 = ConvBlock(c_, 1, dtype=self.dtype, name='cv1')(x, train)
+        y1 = ConvBlock(c_, 1, dtype=self.dtype, quant=self.quant,
+                       name='cv1')(x, train)
         for i in range(self.n_bottlenecks):
-            y1 = DarkBottleneck(c_, True, dtype=self.dtype,
+            y1 = DarkBottleneck(c_, True, dtype=self.dtype, quant=self.quant,
                                 name=f'bottlenecks_{i}')(y1, train)
-        y2 = ConvBlock(c_, 1, dtype=self.dtype, name='cv2')(x, train)
+        y2 = ConvBlock(c_, 1, dtype=self.dtype, quant=self.quant,
+                       name='cv2')(x, train)
         y = jnp.concatenate([y1, y2], axis=-1)
-        return ConvBlock(self.features, 1, dtype=self.dtype, name='cv3')(y, train)
+        return ConvBlock(self.features, 1, dtype=self.dtype, quant=self.quant,
+                         name='cv3')(y, train)
 
 
 def max_pool_same(x: jax.Array, k: int) -> jax.Array:
@@ -111,16 +158,19 @@ class SPPF(nn.Module):
     in_features: int
     kernel_size: int = 5
     dtype: Dtype = jnp.float32
+    quant: str = 'none'
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         c_ = self.in_features // 2
-        x = ConvBlock(c_, 1, dtype=self.dtype, name='cv1')(x, train)
+        x = ConvBlock(c_, 1, dtype=self.dtype, quant=self.quant,
+                      name='cv1')(x, train)
         y1 = max_pool_same(x, self.kernel_size)
         y2 = max_pool_same(y1, self.kernel_size)
         y3 = max_pool_same(y2, self.kernel_size)
         y = jnp.concatenate([x, y1, y2, y3], axis=-1)
-        return ConvBlock(self.features, 1, dtype=self.dtype, name='cv2')(y, train)
+        return ConvBlock(self.features, 1, dtype=self.dtype, quant=self.quant,
+                         name='cv2')(y, train)
 
 
 def adaptive_max_pool_2d(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:

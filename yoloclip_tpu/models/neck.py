@@ -54,6 +54,7 @@ class TextGuidedCSPLayer(nn.Module):
     features: int
     n_bottlenecks: int = 1
     dtype: Any = jnp.float32
+    quant: str = 'none'
 
     @nn.compact
     def __call__(self, x: jax.Array, text_embeddings: jax.Array,
@@ -61,8 +62,8 @@ class TextGuidedCSPLayer(nn.Module):
                  class_mask: Optional[jax.Array] = None) -> jax.Array:
         """x: (B,H,W,Cin); text_embeddings: (B,num_classes,text_dim)."""
         c_ = self.features // 2
-        dt = self.dtype
-        y1 = ConvBlock(c_, 1, dtype=dt, name='cv1')(x, train)
+        dt, q = self.dtype, self.quant
+        y1 = ConvBlock(c_, 1, dtype=dt, quant=q, name='cv1')(x, train)
 
         # Text projection is iteration-independent in the reference (a single
         # nn.Linear applied inside the loop, `repvl_pan.py:55,77`); hoist it.
@@ -71,7 +72,7 @@ class TextGuidedCSPLayer(nn.Module):
 
         B = x.shape[0]
         for i in range(self.n_bottlenecks):
-            y1 = DarkBottleneck(c_, True, dtype=dt,
+            y1 = DarkBottleneck(c_, True, dtype=dt, quant=q,
                                 name=f'bottlenecks_{i}')(y1, train)
             # scores: (B, H, W, num_classes) = feat . projected_text
             scores = jnp.einsum('bhwc,bnc->bhwn', y1, proj,
@@ -82,9 +83,10 @@ class TextGuidedCSPLayer(nn.Module):
             max_scores = jnp.max(scores, axis=-1, keepdims=True)
             y1 = y1 * jax.nn.sigmoid(max_scores).astype(dt)
 
-        y2 = ConvBlock(c_, 1, dtype=dt, name='cv2')(x, train)
+        y2 = ConvBlock(c_, 1, dtype=dt, quant=q, name='cv2')(x, train)
         y = jnp.concatenate([y1, y2], axis=-1)
-        return ConvBlock(self.features, 1, dtype=dt, name='cv3')(y, train)
+        return ConvBlock(self.features, 1, dtype=dt, quant=q,
+                         name='cv3')(y, train)
 
 
 class ImagePoolingAttention(nn.Module):
@@ -121,6 +123,7 @@ class RepVLPAN(nn.Module):
     text_dim: int = 512
     n_bottlenecks: int = 1
     dtype: Any = jnp.float32
+    quant: str = 'none'
 
     @nn.compact
     def __call__(self, features: Sequence[jax.Array],
@@ -129,7 +132,7 @@ class RepVLPAN(nn.Module):
                  skip_image_pool: bool = False
                  ) -> Tuple[List[jax.Array], jax.Array]:
         assert len(features) == 3, "RepVLPAN requires (C3, C4, C5)"
-        dt = self.dtype
+        dt, q = self.dtype, self.quant
         ic, oc = self.in_channels, self.out_channels
 
         # 1. image -> text fusion (dropped in reparameterized deploy mode,
@@ -144,38 +147,39 @@ class RepVLPAN(nn.Module):
 
         # 2. laterals (channel-preserving 1x1)
         laterals = [
-            ConvBlock(ic[i], 1, dtype=dt, name=f'lateral_convs_{i}')(
-                features[i], train)
+            ConvBlock(ic[i], 1, dtype=dt, quant=q,
+                      name=f'lateral_convs_{i}')(features[i], train)
             for i in range(3)
         ]
 
         # 3. FPN top-down with channel-adjusted nearest upsampling + ADD
         p5 = laterals[2]
-        p5_up = ConvBlock(ic[1], 1, dtype=dt, name='up_channels_0')(
+        p5_up = ConvBlock(ic[1], 1, dtype=dt, quant=q, name='up_channels_0')(
             upsample_nearest_2x(p5), train)
         p4 = laterals[1] + p5_up
-        p4_up = ConvBlock(ic[0], 1, dtype=dt, name='up_channels_1')(
+        p4_up = ConvBlock(ic[0], 1, dtype=dt, quant=q, name='up_channels_1')(
             upsample_nearest_2x(p4), train)
         p3 = laterals[0] + p4_up
 
         fpn = [
-            ConvBlock(oc[i], 3, dtype=dt, name=f'fpn_convs_{i}')(f, train)
+            ConvBlock(oc[i], 3, dtype=dt, quant=q,
+                      name=f'fpn_convs_{i}')(f, train)
             for i, f in enumerate([p3, p4, p5])
         ]
 
         # 4. bottom-up PAN with text guidance
         n3 = TextGuidedCSPLayer(oc[0], self.n_bottlenecks, dtype=dt,
-                                name='text_csplayers_0')(
+                                quant=q, name='text_csplayers_0')(
             fpn[0], text_embeddings, train, class_mask)
-        d3 = ConvBlock(oc[1], 3, 2, dtype=dt, name='downsample_convs_0')(
+        d3 = ConvBlock(oc[1], 3, 2, dtype=dt, quant=q, name='downsample_convs_0')(
             n3, train)
         n4 = TextGuidedCSPLayer(oc[1], self.n_bottlenecks, dtype=dt,
-                                name='text_csplayers_1')(
+                                quant=q, name='text_csplayers_1')(
             fpn[1] + d3, text_embeddings, train, class_mask)
-        d4 = ConvBlock(oc[2], 3, 2, dtype=dt, name='downsample_convs_1')(
+        d4 = ConvBlock(oc[2], 3, 2, dtype=dt, quant=q, name='downsample_convs_1')(
             n4, train)
         n5 = TextGuidedCSPLayer(oc[2], self.n_bottlenecks, dtype=dt,
-                                name='text_csplayers_2')(
+                                quant=q, name='text_csplayers_2')(
             fpn[2] + d4, text_embeddings, train, class_mask)
 
         return [n3, n4, n5], text_embeddings

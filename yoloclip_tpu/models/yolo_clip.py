@@ -69,12 +69,13 @@ class YOLOCLIP(nn.Module):
             class_mask = jnp.broadcast_to(class_mask[None],
                                           (B,) + class_mask.shape)
 
-        feats = YOLOv8Backbone(cfg.backbone_variant, dtype=dt,
+        feats = YOLOv8Backbone(cfg.backbone_variant, dtype=dt, quant=cfg.quant,
                                name='backbone')(images.astype(dt), train)
 
         fc = tuple(cfg.feature_channels())
         pan_feats, text_embeddings = RepVLPAN(
             fc, fc, cfg.embed_dim, cfg.neck_bottlenecks, dtype=dt,
+            quant=cfg.quant,
             name='neck')(feats, text_embeddings, train, class_mask,
                          skip_image_pool)
 
@@ -82,7 +83,7 @@ class YOLOCLIP(nn.Module):
         for i, feat in enumerate(pan_feats):
             head = TextContrastiveHead(
                 cfg.embed_dim, cfg.hidden_dim, cfg.reg_max,
-                cfg.cls_alpha, cfg.cls_beta, dtype=dt,
+                cfg.cls_alpha, cfg.cls_beta, dtype=dt, quant=cfg.quant,
                 name=f'contrastive_heads_{i}')
             obj, box = head(feat, train, with_box=with_aux_box)
             if not use_fused:
@@ -96,7 +97,8 @@ class YOLOCLIP(nn.Module):
                 aux_box.append(box)
 
         box_preds = BoxHead(len(pan_feats), cfg.hidden_dim, cfg.reg_max,
-                            dtype=dt, name='box_head')(pan_feats, train)
+                            dtype=dt, quant=cfg.quant,
+                            name='box_head')(pan_feats, train)
         boxes = decode_boxes(box_preds, cfg.strides, cfg.reg_max)
 
         obj_embeddings = jnp.concatenate(obj_embeds, axis=1).astype(jnp.float32)

@@ -1,0 +1,175 @@
+"""Post-training W8A8 int8 quantization for the deploy path.
+
+No reference equivalent (the reference is fp32 torch end-to-end); this is a
+pure TPU-rebuild feature motivated by the roofline in benchmarks/RESULTS.md:
+the detect pipeline is HBM-bandwidth-bound (~80% of v5e's 819 GB/s at bs=32,
+only ~19% MXU), so int8 activations+weights nearly halve the byte traffic
+and the s8xs8->s32 convolutions run at the MXU's doubled int8 rate.
+
+Scheme (symmetric, zero-point 0 -- SAME zero padding stays exact):
+  * weights: BatchNorm folded into the conv kernel/bias first
+    (w' = k * gamma/sqrt(var+eps), b' = beta - mean*gamma/sqrt(var+eps)),
+    then per-output-channel scales wscale[o] = max|w'[..., o]| / 127.
+  * activations: per-tensor scales act_scale = amax / 127, where amax is
+    the running max-abs of each ConvBlock's input recorded by a short
+    calibration run (ConvBlock quant='calib' sows `in_amax` into the
+    'intermediates' collection, reduce=max).
+  * graph: ConvBlock quant='int8' (models/layers.py) -- quantize input,
+    int8 conv, dequant + bias + SiLU in fp32. XLA fuses each block's
+    requantize into the previous block's epilogue, so inter-layer buffers
+    materialize in HBM as int8.
+
+Kept in float: the similarity einsum + L2 norms, DFL softmax decode, NMS,
+the I-Pool attention (dropped in deploy mode anyway, see ops/reparam.py),
+the text-projection Dense layers, and the final 1x1 convs of each head
+tower (obj_2 / box_convs_i_2) whose outputs feed exp()/cosine math that is
+sensitive to quantization error.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BN_EPS = 1e-5          # must match ConvBlock's nn.BatchNorm epsilon
+_MIN_SCALE = 1e-12
+
+
+def _as_dict(tree):
+    """FrozenDict/dict -> plain nested dict (leaves unchanged)."""
+    if hasattr(tree, 'items'):
+        return {k: _as_dict(v) for k, v in tree.items()}
+    return tree
+
+
+def _is_convblock(params_node) -> bool:
+    return (isinstance(params_node, dict)
+            and set(params_node) == {'conv', 'bn'}
+            and isinstance(params_node.get('conv'), dict)
+            and 'kernel' in params_node['conv'])
+
+
+def calibrate_amax(model, variables, batches: Iterable[Tuple[Any, Any]],
+                   **apply_kwargs) -> Dict:
+    """Run calibration forwards, return the per-ConvBlock input-amax tree.
+
+    model: a YOLOCLIP built with cfg.quant='calib'. batches: iterable of
+    (images, text_embeddings). apply_kwargs are forwarded to apply (e.g.
+    skip_image_pool=True to calibrate the deploy graph). Returns the
+    'intermediates' subtree: nested dict ending in {'in_amax': scalar}.
+    """
+    amax = None
+    for images, text in batches:
+        _, state = model.apply(variables, images, text,
+                               mutable=['intermediates'], **apply_kwargs)
+        cur = _as_dict(state['intermediates'])
+        if amax is None:
+            amax = cur
+        else:
+            amax = jax.tree.map(jnp.maximum, amax, cur)
+    if amax is None:
+        raise ValueError('calibrate_amax needs at least one batch')
+    return jax.tree.map(np.asarray, amax)
+
+
+def _quantize_convblock(params_node: Dict, stats_node: Dict,
+                        amax: np.ndarray) -> Dict:
+    kernel = np.asarray(params_node['conv']['kernel'], np.float32)
+    gamma = np.asarray(params_node['bn']['scale'], np.float32)
+    beta = np.asarray(params_node['bn']['bias'], np.float32)
+    mean = np.asarray(stats_node['bn']['mean'], np.float32)
+    var = np.asarray(stats_node['bn']['var'], np.float32)
+
+    s = gamma / np.sqrt(var + BN_EPS)
+    w = kernel * s                      # (k, k, I, O) * (O,)
+    b = beta - mean * s
+
+    wscale = np.maximum(np.abs(w).max(axis=(0, 1, 2)) / 127.0, _MIN_SCALE)
+    wq = np.clip(np.round(w / wscale), -127, 127).astype(np.int8)
+    act_scale = np.float32(max(float(amax) / 127.0, _MIN_SCALE))
+    return {'wq': wq, 'wscale': wscale.astype(np.float32),
+            'qbias': b.astype(np.float32), 'act_scale': act_scale}
+
+
+def quantize_variables(variables, amax_tree: Dict) -> Dict:
+    """Trained float variables -> int8 deploy variables.
+
+    Walks the params tree; every ConvBlock scope ({'conv','bn'}) is replaced
+    by {'wq','wscale','qbias','act_scale'} using the matching batch_stats
+    and calibration amax. Everything else passes through unchanged. The
+    result has no batch_stats collection (all BatchNorms are folded).
+    """
+    variables = _as_dict(variables)
+    params, stats = variables['params'], variables.get('batch_stats', {})
+
+    def walk(p_node, s_node, a_node, path):
+        if _is_convblock(p_node):
+            if s_node is None or 'bn' not in s_node:
+                raise KeyError(f'missing batch_stats for ConvBlock {path}')
+            if a_node is None or 'in_amax' not in a_node:
+                raise KeyError(f'missing calibration amax for ConvBlock '
+                               f'{path} (run calibrate_amax first)')
+            return _quantize_convblock(p_node, s_node, a_node['in_amax'])
+        if not isinstance(p_node, dict):
+            return p_node
+        return {k: walk(v,
+                        s_node.get(k) if isinstance(s_node, dict) else None,
+                        a_node.get(k) if isinstance(a_node, dict) else None,
+                        path + (k,))
+                for k, v in p_node.items()}
+
+    return {'params': walk(params, stats, amax_tree, ())}
+
+
+def quantize_model(cfg, variables, calib_batches: Iterable[Tuple[Any, Any]],
+                   **apply_kwargs):
+    """(float cfg, float variables) -> (int8 model, int8 variables).
+
+    Convenience wrapper: calibrates on `calib_batches` with the deploy
+    graph settings in apply_kwargs, then transforms the variables.
+    """
+    from yoloclip_tpu.models.yolo_clip import YOLOCLIP
+
+    calib_cfg = _replace_cfg(cfg, quant='calib')
+    amax = calibrate_amax(YOLOCLIP(calib_cfg), variables, calib_batches,
+                          **apply_kwargs)
+    qcfg = _replace_cfg(cfg, quant='int8')
+    return YOLOCLIP(qcfg), quantize_variables(variables, amax)
+
+
+def _replace_cfg(cfg, **kw):
+    import dataclasses
+    return dataclasses.replace(cfg, **kw)
+
+
+def build_quant_forward(cfg, variables, vocabulary: jax.Array,
+                        calib_images: jax.Array,
+                        class_mask: Optional[jax.Array] = None,
+                        fused_scores: Optional[bool] = None,
+                        skip_image_pool: bool = True) -> Callable:
+    """int8 sibling of `ops.reparam.build_reparam_forward`: returns a jitted
+    `fn(images) -> output dict` running the W8A8 deploy graph with the
+    vocabulary baked in. Calibration uses `calib_images` (a representative
+    (N, H, W, 3) float batch) against the same vocabulary.
+    """
+    vocab_const = jnp.asarray(vocabulary)
+    if fused_scores is None:
+        fused_scores = (jax.default_backend() == 'tpu' and class_mask is None)
+
+    qmodel, qvars = quantize_model(
+        cfg, variables, [(calib_images, vocab_const)],
+        class_mask=class_mask, skip_image_pool=skip_image_pool)
+    mask_const = None if class_mask is None else jnp.asarray(class_mask)
+
+    @jax.jit
+    def forward(images: jax.Array) -> Dict[str, jax.Array]:
+        return qmodel.apply(qvars, images, vocab_const,
+                            class_mask=mask_const,
+                            skip_image_pool=skip_image_pool,
+                            fused_scores=fused_scores)
+
+    return forward
