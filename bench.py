@@ -59,10 +59,15 @@ def main():
     ap.add_argument('--variant', default='n')
     ap.add_argument('--iters', type=int, default=20)
     ap.add_argument('--warmup', type=int, default=3)
+    ap.add_argument('--int8', action='store_true',
+                    help='measure the W8A8 quantized serving path '
+                         '(ops/quantize.py; quality numbers in RESULTS.md)')
     args = ap.parse_args()
 
     detector, images = build(args.batch_size, args.classes, args.image_size,
                              args.dtype, args.variant)
+    if args.int8:
+        detector.quantize_int8(images[:8])
 
     import numpy as np
 
@@ -79,8 +84,9 @@ def main():
 
     imgs_per_sec = args.batch_size * args.iters / dt
     print(json.dumps({
-        'metric': 'detect_batch_throughput_bs%d_%dpx_coco%d'
-                  % (args.batch_size, args.image_size, args.classes),
+        'metric': 'detect_batch_throughput_bs%d_%dpx_coco%d%s'
+                  % (args.batch_size, args.image_size, args.classes,
+                     '_int8' if args.int8 else ''),
         'value': round(imgs_per_sec, 2),
         'unit': 'images/sec/chip',
         'vs_baseline': round(imgs_per_sec / 400.0, 3),

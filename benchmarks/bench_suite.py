@@ -327,9 +327,53 @@ def bench_variant_s(batch=32):
          'images/sec/chip', 400)
 
 
+def bench_int8(batch=32, classes=80):
+    """Config 10: W8A8 int8 deploy path (ops/quantize.py). The bf16
+    pipeline is HBM-bandwidth-bound (see RESULTS.md roofline), so int8
+    attacks the actual bottleneck: ~half the byte traffic + the MXU's
+    doubled int8 rate. Measured both as the full serve graph (I-Pool in
+    float) and composed with reparam (vocabulary folded, I-Pool dropped)."""
+    from yoloclip_tpu.config import ModelConfig
+    from yoloclip_tpu.models.yolo_clip import YOLOCLIP
+    from yoloclip_tpu.ops.nms import batched_nms
+    from yoloclip_tpu.ops.quantize import build_quant_forward, quantize_model
+
+    model, variables, text = _model(num_classes=classes)
+    cfg = ModelConfig(backbone_variant='n', image_size=(640, 640),
+                      dtype='bfloat16')
+    images = jax.random.uniform(jax.random.PRNGKey(1),
+                                (batch, 640, 640, 3), jnp.float32)
+    fused = jax.default_backend() == 'tpu'
+
+    qmodel, qvars = quantize_model(cfg, variables, [(images[:8], text)])
+
+    @jax.jit
+    def pipeline(qvars, images, text):
+        out = qmodel.apply(qvars, images, text, fused_scores=fused)
+        return batched_nms(out['boxes'], out['scores'], out['class_ids'],
+                           0.25, 0.45, topk=1024, max_detections=300)
+
+    dt = _throughput_time(pipeline, qvars, images, text)
+    emit(f'int8_bs{batch}_throughput', batch / dt, 'images/sec/chip', 400)
+
+    fwd = build_quant_forward(cfg, variables, text, images[:8])
+
+    @jax.jit
+    def nms_part(out):
+        return batched_nms(out['boxes'], out['scores'], out['class_ids'],
+                           0.25, 0.45, topk=1024, max_detections=300)
+
+    def deploy(images):
+        return nms_part(fwd(images))
+
+    dt = _throughput_time(deploy, images)
+    emit(f'int8_reparam_bs{batch}_throughput', batch / dt,
+         'images/sec/chip', 400)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--configs', default='1,2,3,4,5,6,7,8,9')
+    ap.add_argument('--configs', default='1,2,3,4,5,6,7,8,9,10')
     args = ap.parse_args()
     wanted = set(args.configs.split(','))
     if '1' in wanted:
@@ -350,6 +394,8 @@ def main():
         bench_detect_default_path()
     if '9' in wanted:
         bench_variant_s()
+    if '10' in wanted:
+        bench_int8()
 
 
 if __name__ == '__main__':

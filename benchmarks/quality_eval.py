@@ -170,9 +170,49 @@ def eval_reference(mcfg, state, val, text, conf, iou):
     return preds
 
 
-def detection_agreement(a_preds, b_preds, iou_min=0.95):
+def eval_int8(mcfg, state, train, val, text, conf, iou):
+    """Quantize the trained weights (W8A8, ops/quantize.py) and evaluate
+    through the same batched inference path. Calibration: 32 train images."""
+    import jax
+    import jax.numpy as jnp
+
+    from yoloclip_tpu.ops.nms import batched_nms
+    from yoloclip_tpu.ops.preprocess import rescale_boxes
+    from yoloclip_tpu.ops.quantize import quantize_model
+
+    variables = {'params': state.params, 'batch_stats': state.batch_stats}
+    calib = jnp.asarray(train['images'][:32])
+    qmodel, qvars = quantize_model(mcfg, variables,
+                                   [(calib, jnp.asarray(text))])
+    S = val['images'].shape[1]
+
+    @jax.jit
+    def run(v, im, tx):
+        out = qmodel.apply(v, im, tx)
+        boxes = rescale_boxes(out['boxes'], jnp.float32(1.0), (S, S))
+        return batched_nms(boxes, out['scores'], out['class_ids'],
+                           jnp.float32(conf), jnp.float32(iou),
+                           topk=512, max_detections=32)
+
+    preds = []
+    N = val['images'].shape[0]
+    bs = 16
+    for i in range(0, N, bs):
+        det = run(qvars, jnp.asarray(val['images'][i:i + bs]),
+                  jnp.asarray(text))
+        for b in range(det['boxes'].shape[0]):
+            preds.append({
+                'boxes': (np.asarray(det['boxes'][b]).astype(int)
+                          .astype(float))[None],
+                'scores': np.asarray(det['scores'][b])[None],
+                'class_ids': np.asarray(det['class_ids'][b])[None],
+            })
+    return preds
+
+
+def detection_agreement(a_preds, b_preds, iou_min=0.95, score_tol=5e-3):
     """Fraction of detections matched 1:1 across stacks (same class,
-    IoU >= iou_min, score within 5e-3)."""
+    IoU >= iou_min, score within score_tol)."""
     from yoloclip_tpu.utils.metrics import bbox_iou_matrix
     matched = total = 0
     for pa, pb in zip(a_preds, b_preds):
@@ -189,7 +229,7 @@ def detection_agreement(a_preds, b_preds, iou_min=0.95):
         for i in range(len(A)):
             j = int(np.argmax(iou[i] - used * 10.0))
             if (not used[j] and iou[i, j] >= iou_min and ca[i] == cb[j]
-                    and abs(sa[i] - sb[j]) < 5e-3):
+                    and abs(sa[i] - sb[j]) < score_tol):
                 used[j] = True
                 matched += 1
     return matched / max(total, 1)
@@ -208,6 +248,8 @@ def main():
     ap.add_argument('--iou', type=float, default=0.45)
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--skip-reference', action='store_true')
+    ap.add_argument('--int8', action='store_true',
+                    help='also evaluate the W8A8 quantized deploy path')
     args = ap.parse_args()
 
     from yoloclip_tpu.utils.general import enable_compile_cache
@@ -231,6 +273,22 @@ def main():
     map50, map50_95 = calculate_map(ours, targets)
     result = {'metric': 'synthetic_map50', 'value': round(map50, 4),
               'map50_95': round(map50_95, 4)}
+
+    if args.int8:
+        train_set = make_synth_detection_set(args.train_images, seed=0,
+                                             image_size=args.image_size)
+        qp = eval_int8(mcfg, state, train_set, val, text, args.conf,
+                       args.iou)
+        qmap50, qmap50_95 = calculate_map(qp, targets)
+        result.update({
+            'int8_map50': round(qmap50, 4),
+            'int8_map50_95': round(qmap50_95, 4),
+            'int8_map50_gap': round(abs(map50 - qmap50), 4),
+            # looser score tol: int8 dequant error is ~1e-2 on the cosine
+            # scale; the match is about detection-level equivalence
+            'int8_detection_agreement': round(detection_agreement(
+                ours, qp, iou_min=0.9, score_tol=0.02), 4),
+        })
 
     if not args.skip_reference:
         from yoloclip_tpu.utils import refbridge

@@ -163,6 +163,38 @@ def test_detector_quantize_int8_end_to_end():
     assert int(np.asarray(batch['count'])[0]) > 0
 
 
+def test_sharded_int8_inference_matches_single_device():
+    """The W8A8 model composes with the ('data','model') serving mesh:
+    batch over data, vocabulary over model, identical outputs."""
+    from yoloclip_tpu.parallel.mesh import create_mesh
+    from yoloclip_tpu.parallel.train_step import (make_sharded_inference,
+                                                  place_text)
+
+    cfg = ModelConfig(backbone_variant='n', image_size=(128, 128))
+    model = YOLOCLIP(cfg)
+    npr = np.random.RandomState(3)
+    images = jnp.asarray(npr.rand(4, 128, 128, 3), jnp.float32)
+    text = jnp.asarray(npr.randn(8, 512), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), images, text)
+    qmodel, qvars = quantize_model(cfg, variables, [(images, text)])
+
+    out_single = qmodel.apply(qvars, images, text)
+
+    mesh = create_mesh(n_data=2, n_model=2)
+    with mesh:
+        infer = make_sharded_inference(qmodel.apply, mesh)
+        out_sharded = infer(qvars, images, place_text(text, mesh,
+                                                      batched=False))
+    # int8 conv accumulation is exact int32 arithmetic -> sharded equals
+    # single-device bit-for-bit on boxes; scores go through fp reductions
+    np.testing.assert_allclose(np.asarray(out_sharded['boxes']),
+                               np.asarray(out_single['boxes']),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_sharded['scores']),
+                               np.asarray(out_single['scores']),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_build_quant_forward_jits_and_runs():
     cfg = ModelConfig(backbone_variant='n', image_size=(160, 160))
     model = YOLOCLIP(cfg)

@@ -62,11 +62,18 @@ def calibrate_amax(model, variables, batches: Iterable[Tuple[Any, Any]],
     skip_image_pool=True to calibrate the deploy graph). Returns the
     'intermediates' subtree: nested dict ending in {'in_amax': scalar}.
     """
-    amax = None
-    for images, text in batches:
+    # ONE jitted program per input shape -- eager apply would dispatch
+    # thousands of ops individually (minutes through a remote-TPU tunnel)
+    @jax.jit
+    def _calib_step(variables, images, text):
         _, state = model.apply(variables, images, text,
                                mutable=['intermediates'], **apply_kwargs)
-        cur = _as_dict(state['intermediates'])
+        return state['intermediates']
+
+    amax = None
+    for images, text in batches:
+        cur = _as_dict(jax.tree.map(np.asarray,
+                                    _calib_step(variables, images, text)))
         if amax is None:
             amax = cur
         else:
@@ -122,7 +129,11 @@ def quantize_variables(variables, amax_tree: Dict) -> Dict:
                         path + (k,))
                 for k, v in p_node.items()}
 
-    return {'params': walk(params, stats, amax_tree, ())}
+    qparams = walk(params, stats, amax_tree, ())
+    # device arrays, NOT numpy: numpy leaves would re-upload every weight
+    # on each jitted call (a fresh host->device transfer per step -- ~20x
+    # slower through a remote-TPU tunnel)
+    return {'params': jax.tree.map(jnp.asarray, qparams)}
 
 
 def quantize_model(cfg, variables, calib_batches: Iterable[Tuple[Any, Any]],
