@@ -12,14 +12,14 @@ import jax.numpy as jnp
 import pytest
 
 from yoloclip_tpu.config import ModelConfig
-from yoloclip_tpu.models.layers import ConvBlock
+from yoloclip_tpu.models.layers import ConvBlock, quant_eligible
 from yoloclip_tpu.models.yolo_clip import YOLOCLIP
 from yoloclip_tpu.ops.quantize import (calibrate_amax, quantize_model,
                                        quantize_variables,
                                        build_quant_forward)
 
 
-def _convblock_pair(k=3, cin=16, cout=32, stride=1, seed=0):
+def _convblock_pair(k=3, cin=64, cout=128, stride=1, seed=0):
     """Float ConvBlock with non-trivial BN stats + its int8 twin."""
     rng = jax.random.PRNGKey(seed)
     npr = np.random.RandomState(seed)
@@ -64,7 +64,7 @@ def test_convblock_int8_matches_float():
 
 def test_quantize_variables_fold_math():
     """wq * wscale must reconstruct the BN-folded weights to 1/254 rel."""
-    block, variables, x = _convblock_pair(k=1, cin=8, cout=8)
+    block, variables, x = _convblock_pair(k=3, cin=64, cout=128)
     qvars = quantize_variables(variables, {'in_amax': np.float32(1.0)})
     k = variables['params']['conv']['kernel']
     g = variables['params']['bn']['scale']
@@ -77,6 +77,36 @@ def test_quantize_variables_fold_math():
     assert np.abs(w_rec - w_folded).max() <= (
         np.abs(w_folded).max(axis=(0, 1, 2)) / 254 + 1e-9).max()
     np.testing.assert_allclose(qvars['params']['qbias'], b - m * s, rtol=1e-6)
+
+
+def test_ineligible_convblock_folds_bn_exactly():
+    """Narrow/1x1 blocks (quant_eligible False) become BN-folded FLOAT
+    convs: {wf, fbias} with wf = kernel * gamma/sqrt(var+eps), and the
+    int8-mode apply matches the float block to fp roundoff (no 8-bit
+    error -- nothing was quantized)."""
+    assert not quant_eligible(1, 8, 8)
+    assert not quant_eligible(3, 16, 32)
+    assert not quant_eligible(1, 256, 256)   # 1x1 never eligible
+    assert quant_eligible(3, 64, 128)
+    assert quant_eligible(3, 256, 256)
+
+    block, variables, x = _convblock_pair(k=1, cin=8, cout=8)
+    qvars = quantize_variables(variables, {})   # no amax needed
+    qp = qvars['params']
+    assert set(qp) == {'wf', 'fbias'}
+
+    k = variables['params']['conv']['kernel']
+    g = variables['params']['bn']['scale']
+    v = variables['batch_stats']['bn']['var']
+    s = g / np.sqrt(v + 1e-5)
+    np.testing.assert_allclose(np.asarray(qp['wf']), k * s, rtol=1e-6)
+
+    y_f = block.apply(variables, x)
+    qblock = ConvBlock(block.features, block.kernel_size, block.stride,
+                       quant='int8')
+    y_q = qblock.apply(qvars, x)
+    np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_f),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_full_model_int8_agreement():
@@ -185,14 +215,16 @@ def test_sharded_int8_inference_matches_single_device():
         infer = make_sharded_inference(qmodel.apply, mesh)
         out_sharded = infer(qvars, images, place_text(text, mesh,
                                                       batched=False))
-    # int8 conv accumulation is exact int32 arithmetic -> sharded equals
-    # single-device bit-for-bit on boxes; scores go through fp reductions
+    # eligible blocks accumulate in exact int32; ineligible blocks are
+    # BN-folded FLOAT convs (selective scheme), so sharded vs single-device
+    # picks up fp reduction-order noise through the L2-normalized cosine
+    # (measured ~1e-3 max on the [-1, 1] score scale at this size)
     np.testing.assert_allclose(np.asarray(out_sharded['boxes']),
                                np.asarray(out_single['boxes']),
-                               rtol=1e-5, atol=1e-4)
+                               rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(out_sharded['scores']),
                                np.asarray(out_single['scores']),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=1e-3, atol=2e-3)
 
 
 def test_build_quant_forward_jits_and_runs():

@@ -16,6 +16,29 @@ from flax import linen as nn
 
 Dtype = Any
 
+# W8A8 eligibility thresholds (see quant_eligible). Measured on v5e,
+# bs=32 chained-conv probe, 2026-08: int8 wins 1.4-1.5x on wide 3x3 convs
+# (c128@40 1.53x, c256@80 1.54x, c256@20 1.45x with bf16 epilogue), is
+# break-even at c64 k3 (1.05x), and LOSES badly on narrow 1x1 convs
+# (c32 k1 @160: 0.24x -- the requantize pass costs more than the conv).
+INT8_MIN_CH = 64
+INT8_MAX_CH = 128
+
+
+def quant_eligible(kernel_size: int, cin: int, cout: int) -> bool:
+    """Static per-block policy for the W8A8 deploy path.
+
+    True -> the block runs as an s8xs8->s32 MXU conv; False -> it runs as a
+    BN-folded float conv (still faster than the unfused conv+BN train graph).
+    `ops/quantize.py::quantize_variables` and `ConvBlock` both key off this
+    exact predicate, so the transformed variables always match the traced
+    graph. Blanket int8 was measured NET-NEGATIVE end-to-end (-20% and
+    +43% HBM traffic by XLA cost analysis): the quantize/dequantize passes
+    around narrow convs add more byte traffic than int8 storage saves.
+    """
+    return (kernel_size == 3 and min(cin, cout) >= INT8_MIN_CH
+            and max(cin, cout) >= INT8_MAX_CH)
+
 
 class ConvBlock(nn.Module):
     """Conv(bias=False) + BatchNorm + SiLU.
@@ -24,19 +47,16 @@ class ConvBlock(nn.Module):
     (same block re-declared in repvl_pan.py / heads). padding = k // 2.
 
     quant ('none' | 'calib' | 'int8') selects the W8A8 deploy path
-    (`yoloclip_tpu/ops/quantize.py`). The detect pipeline is
-    HBM-bandwidth-bound on TPU (benchmarks/RESULTS.md roofline), so int8
-    activations/weights nearly halve the byte traffic and the s8xs8->s32
-    conv runs at the MXU's doubled int8 rate:
+    (`yoloclip_tpu/ops/quantize.py`):
       * 'calib': float path, but sow the input absmax into the
         'intermediates' collection (reduce=max over calls) for scale fitting.
-      * 'int8': params are {wq int8 (BN pre-folded, per-out-channel scales),
-        wscale, qbias, act_scale} produced by `quantize_variables`; the
-        block quantizes its input symmetrically (zero-point 0, so SAME
-        zero-padding is exact), convolves in int8, and dequantizes + SiLU
-        in fp32. Interface stays float-in/float-out -- XLA fuses the
-        requantize of the next block into this block's epilogue, so the
-        materialized inter-layer buffer is int8.
+      * 'int8': SELECTIVE -- blocks passing `quant_eligible` (wide 3x3
+        convs, where the MXU's doubled int8 rate wins ~1.5x) get params
+        {wq int8 (BN pre-folded, per-out-channel scales), wscale, qbias,
+        act_scale} and run quantize -> s8xs8->s32 conv -> dequant + SiLU;
+        all other blocks get BN-folded float params {wf, fbias} (narrow
+        convs lose up to 4x under int8 -- requantize overhead dominates).
+        Interface stays float-in/float-out either way.
     """
 
     features: int
@@ -50,6 +70,17 @@ class ConvBlock(nn.Module):
         p = self.kernel_size // 2
         if self.quant == 'int8':
             k, cin = self.kernel_size, x.shape[-1]
+            if not quant_eligible(k, cin, self.features):
+                wf = self.param('wf', nn.initializers.zeros,
+                                (k, k, cin, self.features), jnp.float32)
+                fbias = self.param('fbias', nn.initializers.zeros,
+                                   (self.features,), jnp.float32)
+                y = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype), wf.astype(self.dtype),
+                    (self.stride, self.stride), ((p, p), (p, p)),
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                    preferred_element_type=jnp.float32)
+                return nn.silu(y + fbias).astype(self.dtype)
             wq = self.param('wq', nn.initializers.zeros,
                             (k, k, cin, self.features), jnp.int8)
             wscale = self.param('wscale', nn.initializers.ones,

@@ -7,6 +7,12 @@ only ~19% MXU), so int8 activations+weights nearly halve the byte traffic
 and the s8xs8->s32 convolutions run at the MXU's doubled int8 rate.
 
 Scheme (symmetric, zero-point 0 -- SAME zero padding stays exact):
+  * SELECTIVE: only blocks passing `models.layers.quant_eligible` (wide
+    3x3 convs) are quantized; narrow/1x1 blocks become BN-folded float
+    convs {wf, fbias}. Measured on v5e: blanket int8 was NET-NEGATIVE
+    (-20% e2e, +43% HBM bytes by XLA cost analysis -- requantize passes
+    around narrow convs outweigh the int8 savings), while wide 3x3 convs
+    individually win 1.4-1.5x at the MXU's doubled int8 rate.
   * weights: BatchNorm folded into the conv kernel/bias first
     (w' = k * gamma/sqrt(var+eps), b' = beta - mean*gamma/sqrt(var+eps)),
     then per-output-channel scales wscale[o] = max|w'[..., o]| / 127.
@@ -15,9 +21,8 @@ Scheme (symmetric, zero-point 0 -- SAME zero padding stays exact):
     calibration run (ConvBlock quant='calib' sows `in_amax` into the
     'intermediates' collection, reduce=max).
   * graph: ConvBlock quant='int8' (models/layers.py) -- quantize input,
-    int8 conv, dequant + bias + SiLU in fp32. XLA fuses each block's
-    requantize into the previous block's epilogue, so inter-layer buffers
-    materialize in HBM as int8.
+    int8 conv, dequant + bias + SiLU, epilogue cast to the compute dtype
+    (bf16 epilogues matter: c256@20 is 1.45x with bf16 vs 0.87x fp32).
 
 Kept in float: the similarity einsum + L2 norms, DFL softmax decode, NMS,
 the I-Pool attention (dropped in deploy mode anyway, see ops/reparam.py),
@@ -34,6 +39,8 @@ from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from yoloclip_tpu.models.layers import quant_eligible
 
 BN_EPS = 1e-5          # must match ConvBlock's nn.BatchNorm epsilon
 _MIN_SCALE = 1e-12
@@ -84,7 +91,7 @@ def calibrate_amax(model, variables, batches: Iterable[Tuple[Any, Any]],
 
 
 def _quantize_convblock(params_node: Dict, stats_node: Dict,
-                        amax: np.ndarray) -> Dict:
+                        amax: Optional[np.ndarray]) -> Dict:
     kernel = np.asarray(params_node['conv']['kernel'], np.float32)
     gamma = np.asarray(params_node['bn']['scale'], np.float32)
     beta = np.asarray(params_node['bn']['bias'], np.float32)
@@ -95,6 +102,14 @@ def _quantize_convblock(params_node: Dict, stats_node: Dict,
     w = kernel * s                      # (k, k, I, O) * (O,)
     b = beta - mean * s
 
+    k, _, cin, cout = kernel.shape
+    if not quant_eligible(k, cin, cout):
+        # BN-folded float conv -- mirrors ConvBlock's ineligible branch
+        return {'wf': w.astype(np.float32), 'fbias': b.astype(np.float32)}
+
+    if amax is None:
+        raise KeyError('missing calibration amax for eligible ConvBlock '
+                       '(run calibrate_amax first)')
     wscale = np.maximum(np.abs(w).max(axis=(0, 1, 2)) / 127.0, _MIN_SCALE)
     wq = np.clip(np.round(w / wscale), -127, 127).astype(np.int8)
     act_scale = np.float32(max(float(amax) / 127.0, _MIN_SCALE))
@@ -106,7 +121,8 @@ def quantize_variables(variables, amax_tree: Dict) -> Dict:
     """Trained float variables -> int8 deploy variables.
 
     Walks the params tree; every ConvBlock scope ({'conv','bn'}) is replaced
-    by {'wq','wscale','qbias','act_scale'} using the matching batch_stats
+    by {'wq','wscale','qbias','act_scale'} (if `quant_eligible`) or by the
+    BN-folded float {'wf','fbias'} (if not) using the matching batch_stats
     and calibration amax. Everything else passes through unchanged. The
     result has no batch_stats collection (all BatchNorms are folded).
     """
@@ -117,10 +133,11 @@ def quantize_variables(variables, amax_tree: Dict) -> Dict:
         if _is_convblock(p_node):
             if s_node is None or 'bn' not in s_node:
                 raise KeyError(f'missing batch_stats for ConvBlock {path}')
-            if a_node is None or 'in_amax' not in a_node:
-                raise KeyError(f'missing calibration amax for ConvBlock '
-                               f'{path} (run calibrate_amax first)')
-            return _quantize_convblock(p_node, s_node, a_node['in_amax'])
+            amax = (a_node or {}).get('in_amax')
+            try:
+                return _quantize_convblock(p_node, s_node, amax)
+            except KeyError as e:
+                raise KeyError(f'{e.args[0]}: ConvBlock {path}') from None
         if not isinstance(p_node, dict):
             return p_node
         return {k: walk(v,
