@@ -8,6 +8,13 @@ DFL decode + rescale + fixed-shape class-agnostic NMS (VERDICT r1 weak #3:
 the bench must exercise what users call). Target: >= 400 images/sec/chip on
 TPU v5e (vs_baseline = value / 400).
 
+Default measures the W8A8 selective-int8 DEPLOY configuration
+(`detector.quantize_int8`, ops/quantize.py) -- the setting a throughput-
+bound user would serve with. Its quality cost is measured, not assumed:
+mAP gap 0.0003, 91% detection agreement vs the float stack
+(benchmarks/RESULTS.md quality table). `--bf16` measures the float
+default path instead.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -59,14 +66,18 @@ def main():
     ap.add_argument('--variant', default='n')
     ap.add_argument('--iters', type=int, default=20)
     ap.add_argument('--warmup', type=int, default=3)
+    ap.add_argument('--bf16', action='store_true',
+                    help='measure the float (bf16) default path instead of '
+                         'the W8A8 int8 deploy configuration')
     ap.add_argument('--int8', action='store_true',
-                    help='measure the W8A8 quantized serving path '
+                    help='(default) measure the W8A8 quantized serving path '
                          '(ops/quantize.py; quality numbers in RESULTS.md)')
     args = ap.parse_args()
+    use_int8 = not args.bf16
 
     detector, images = build(args.batch_size, args.classes, args.image_size,
                              args.dtype, args.variant)
-    if args.int8:
+    if use_int8:
         detector.quantize_int8(images[:8])
 
     import numpy as np
@@ -86,7 +97,7 @@ def main():
     print(json.dumps({
         'metric': 'detect_batch_throughput_bs%d_%dpx_coco%d%s'
                   % (args.batch_size, args.image_size, args.classes,
-                     '_int8' if args.int8 else ''),
+                     '_int8' if use_int8 else ''),
         'value': round(imgs_per_sec, 2),
         'unit': 'images/sec/chip',
         'vs_baseline': round(imgs_per_sec / 400.0, 3),

@@ -327,7 +327,7 @@ def bench_variant_s(batch=32):
          'images/sec/chip', 400)
 
 
-def bench_int8(batch=32, classes=80):
+def bench_int8(batch=32, classes=80, variant='n'):
     """Config 10: W8A8 int8 deploy path (ops/quantize.py). The bf16
     pipeline is HBM-bandwidth-bound (see RESULTS.md roofline), so int8
     attacks the actual bottleneck: ~half the byte traffic + the MXU's
@@ -338,8 +338,8 @@ def bench_int8(batch=32, classes=80):
     from yoloclip_tpu.ops.nms import batched_nms
     from yoloclip_tpu.ops.quantize import build_quant_forward, quantize_model
 
-    model, variables, text = _model(num_classes=classes)
-    cfg = ModelConfig(backbone_variant='n', image_size=(640, 640),
+    model, variables, text = _model(num_classes=classes, variant=variant)
+    cfg = ModelConfig(backbone_variant=variant, image_size=(640, 640),
                       dtype='bfloat16')
     images = jax.random.uniform(jax.random.PRNGKey(1),
                                 (batch, 640, 640, 3), jnp.float32)
@@ -354,7 +354,8 @@ def bench_int8(batch=32, classes=80):
                            0.25, 0.45, topk=1024, max_detections=300)
 
     dt = _throughput_time(pipeline, qvars, images, text)
-    emit(f'int8_bs{batch}_throughput', batch / dt, 'images/sec/chip', 400)
+    emit(f'int8_{variant}_bs{batch}_throughput', batch / dt,
+         'images/sec/chip', 400)
 
     fwd = build_quant_forward(cfg, variables, text, images[:8])
 
@@ -367,13 +368,13 @@ def bench_int8(batch=32, classes=80):
         return nms_part(fwd(images))
 
     dt = _throughput_time(deploy, images)
-    emit(f'int8_reparam_bs{batch}_throughput', batch / dt,
+    emit(f'int8_{variant}_reparam_bs{batch}_throughput', batch / dt,
          'images/sec/chip', 400)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--configs', default='1,2,3,4,5,6,7,8,9,10')
+    ap.add_argument('--configs', default='1,2,3,4,5,6,7,8,9,10,11')
     args = ap.parse_args()
     wanted = set(args.configs.split(','))
     if '1' in wanted:
@@ -396,6 +397,8 @@ def main():
         bench_variant_s()
     if '10' in wanted:
         bench_int8()
+    if '11' in wanted:
+        bench_int8(variant='s')
 
 
 if __name__ == '__main__':

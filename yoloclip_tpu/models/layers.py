@@ -21,6 +21,8 @@ Dtype = Any
 # (c128@40 1.53x, c256@80 1.54x, c256@20 1.45x with bf16 epilogue), is
 # break-even at c64 k3 (1.05x), and LOSES badly on narrow 1x1 convs
 # (c32 k1 @160: 0.24x -- the requantize pass costs more than the conv).
+# Wide 1x1 convs were probed too and are break-even at best (c128 k1
+# 0.86-1.10x, c256/512 k1 1.00-1.02x), so k=1 is never eligible.
 INT8_MIN_CH = 64
 INT8_MAX_CH = 128
 
