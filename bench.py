@@ -73,6 +73,8 @@ def main():
                     help='(default) measure the W8A8 quantized serving path '
                          '(ops/quantize.py; quality numbers in RESULTS.md)')
     args = ap.parse_args()
+    if args.bf16 and args.int8:
+        ap.error('--bf16 and --int8 are mutually exclusive')
     use_int8 = not args.bf16
 
     detector, images = build(args.batch_size, args.classes, args.image_size,

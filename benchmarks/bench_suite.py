@@ -353,8 +353,9 @@ def bench_int8(batch=32, classes=80, variant='n'):
         return batched_nms(out['boxes'], out['scores'], out['class_ids'],
                            0.25, 0.45, topk=1024, max_detections=300)
 
+    ctag = '' if classes == 80 else f'_c{classes}'
     dt = _throughput_time(pipeline, qvars, images, text)
-    emit(f'int8_{variant}_bs{batch}_throughput', batch / dt,
+    emit(f'int8_{variant}{ctag}_bs{batch}_throughput', batch / dt,
          'images/sec/chip', 400)
 
     fwd = build_quant_forward(cfg, variables, text, images[:8])
@@ -368,13 +369,89 @@ def bench_int8(batch=32, classes=80, variant='n'):
         return nms_part(fwd(images))
 
     dt = _throughput_time(deploy, images)
-    emit(f'int8_{variant}_reparam_bs{batch}_throughput', batch / dt,
+    emit(f'int8_{variant}{ctag}_reparam_bs{batch}_throughput', batch / dt,
          'images/sec/chip', 400)
+
+
+def bench_int8_streaming(n_streams=8):
+    """Config 12: the streaming pipeline (device letterbox from 1080p +
+    forward + NMS) on the W8A8 deploy graph."""
+    from yoloclip_tpu.config import ModelConfig
+    from yoloclip_tpu.ops.nms import batched_nms
+    from yoloclip_tpu.ops.preprocess import letterbox_batch
+    from yoloclip_tpu.ops.quantize import quantize_model
+
+    _, variables, text = _model()
+    cfg = ModelConfig(backbone_variant='n', image_size=(640, 640),
+                      dtype='bfloat16')
+    frames = jnp.asarray((np.random.RandomState(0)
+                          .rand(n_streams, 1080, 1920, 3) * 255)
+                         .astype(np.uint8))
+    canv, _ = letterbox_batch(frames, (640, 640))
+    qmodel, qvars = quantize_model(cfg, variables, [(canv, text)])
+    fused = jax.default_backend() == 'tpu'
+
+    @jax.jit
+    def pipeline(qvars, frames, text):
+        canvases, scale = letterbox_batch(frames, (640, 640))
+        out = qmodel.apply(qvars, canvases, text, fused_scores=fused)
+        return batched_nms(out['boxes'], out['scores'], out['class_ids'],
+                           0.25, 0.45, topk=1024, max_detections=300)
+
+    dt = _throughput_time(pipeline, qvars, frames, text)
+    emit(f'int8_streaming_{n_streams}x1080p_fps_per_stream', 1.0 / dt,
+         'fps/stream', 30)
+
+
+def bench_int8_latency():
+    """Config 13: single-image device latency (slope method) on the W8A8
+    deploy graph -- the latency sibling of config 10."""
+    from yoloclip_tpu.config import ModelConfig
+    from yoloclip_tpu.ops.nms import nms_fixed
+    from yoloclip_tpu.ops.preprocess import letterbox, rescale_boxes
+    from yoloclip_tpu.ops.quantize import quantize_model
+
+    _, variables, text = _model()
+    cfg = ModelConfig(backbone_variant='n', image_size=(640, 640),
+                      dtype='bfloat16')
+    raw = jnp.asarray((np.random.RandomState(0).rand(480, 854, 3) * 255)
+                      .astype(np.uint8))
+    canvas, _ = letterbox(raw, (640, 640))
+    qmodel, qvars = quantize_model(cfg, variables,
+                                   [(canvas[None], text)])
+    fused = jax.default_backend() == 'tpu'
+
+    @jax.jit
+    def pipeline(qvars, raw, text):
+        canvas, scale = letterbox(raw, (640, 640))
+        out = qmodel.apply(qvars, canvas[None], text, fused_scores=fused)
+        boxes = rescale_boxes(out['boxes'][0], scale, (480, 854))
+        return nms_fixed(boxes, out['scores'][0], 0.25, 0.45,
+                         topk=1024, max_detections=300,
+                         class_ids=out['class_ids'][0])
+
+    np.asarray(pipeline(qvars, raw, text)['count'])   # compile
+
+    def run_n(n, reps=15):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = None
+            for _ in range(n):
+                r = pipeline(qvars, raw, text)
+            np.asarray(r['count'])
+            ts.append(time.perf_counter() - t0)
+        return float(np.percentile(ts, 50) * 1000)
+
+    t1, t9 = run_n(1), run_n(9)
+    device_ms = max((t9 - t1) / 8.0, 1e-3)
+    emit('int8_single_image_p50_latency_device', device_ms, 'ms', None)
+
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--configs', default='1,2,3,4,5,6,7,8,9,10,11')
+    ap.add_argument('--configs', default='1,2,3,4,5,6,7,8,9,10,11,12,13,14')
     args = ap.parse_args()
     wanted = set(args.configs.split(','))
     if '1' in wanted:
@@ -399,6 +476,12 @@ def main():
         bench_int8()
     if '11' in wanted:
         bench_int8(variant='s')
+    if '12' in wanted:
+        bench_int8_streaming()
+    if '14' in wanted:
+        bench_int8(classes=1203)
+    if '13' in wanted:
+        bench_int8_latency()
 
 
 if __name__ == '__main__':

@@ -404,3 +404,16 @@ def test_tokenizer_bpe_matches_huggingface_clip(tmp_path):
         theirs = hf(text)['input_ids']          # [SOT, ..., EOT]
         mine = [ours.sot] + ours.encode(text) + [ours.eot]
         assert mine == theirs, (text, mine, theirs)
+
+
+def test_basic_clean_unescapes_before_nfc():
+    """ftfy-pipeline ordering: HTML entities decode BEFORE NFC so escaped
+    combining marks compose ("e&#769;tude" -> single U+00E9 letter run).
+    NFC-first would leave a decomposed pair that word_split breaks apart
+    (code-review finding, round 2)."""
+    from yoloclip_tpu.text.tokenizer import _basic_clean, word_split
+    out = _basic_clean('e&#769;tude')
+    assert out == '\u00e9tude'
+    assert word_split(out) == ['\u00e9tude']
+    # double-unescape (CLIP quirk): &amp;#233; needs two passes
+    assert _basic_clean('caf&amp;#233;') == 'caf\u00e9'

@@ -96,8 +96,10 @@ class YOLOCLIPDetector:
         # A degraded text stack (random-init tower / zero-merge tokenizer)
         # produces confident-looking garbage -- shout at init AND on the
         # first detect, or refuse outright behind require_text_quality.
-        self._text_quality_warned = False
         self._check_text_quality()
+        # arm ONE repeat shout for the first detect() call; detect()
+        # disarms before re-checking so serving loops aren't log-flooded
+        self._text_quality_warned = True
 
         # Offline vocabulary (encode once, reuse forever).
         # Ref fallback semantics `detector.py:93-98` / SURVEY quirk #9.
@@ -128,6 +130,11 @@ class YOLOCLIPDetector:
         from yoloclip_tpu.models.yolo_clip import YOLOCLIP
         from yoloclip_tpu.ops.preprocess import letterbox_batch
         from yoloclip_tpu.ops.quantize import quantize_model
+
+        if self.quantized:
+            raise RuntimeError('detector is already quantized (the swap is '
+                               'irreversible); build a new YOLOCLIPDetector '
+                               'to requantize from float weights')
 
         imgs = jnp.asarray(np.asarray(calib_images))
         if imgs.ndim == 3:
@@ -160,7 +167,6 @@ class YOLOCLIPDetector:
         if getattr(self.config, 'require_text_quality', False):
             raise RuntimeError(msg)
         logger.warning(msg)
-        self._text_quality_warned = True
 
     # ------------------------------------------------------------------
     # vocabulary management (ref `model/yolo_clip.py:225-263`)

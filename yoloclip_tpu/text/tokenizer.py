@@ -122,11 +122,14 @@ def _get_pairs(word: Tuple[str, ...]) -> set:
 
 
 def _basic_clean(text: str) -> str:
-    # CLIP runs ftfy.fix_text (mojibake repair + NFC normalization) before
-    # the double html.unescape; for well-formed input fix_text reduces to
-    # NFC, which matters for decomposed non-ASCII ("café" == "café").
-    text = unicodedata.normalize('NFC', text)
+    # CLIP runs ftfy.fix_text (entity decode + mojibake repair + NFC)
+    # then a double html.unescape; for well-formed input that reduces to
+    # unescape-then-NFC. Order matters for escaped combining marks:
+    # "e&#769;tude" must compose to U+00E9 "etude" -- NFC before
+    # unescape would leave a decomposed e+U+0301 pair that word_split
+    # then breaks apart.
     text = html.unescape(html.unescape(text))
+    text = unicodedata.normalize('NFC', text)
     return text.strip()
 
 
