@@ -126,6 +126,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument('--model', default=None, help='checkpoint dir')
     ap.add_argument('--conf', type=float, default=0.25)
     ap.add_argument('--text-checkpoint', default=None)
+    ap.add_argument('--int8', action='store_true',
+                    help='serve the W8A8 selective-int8 deploy graph '
+                         '(calibrated on the first frames of each stream)')
     args = ap.parse_args(argv)
 
     from yoloclip_tpu.config import InferenceConfig
@@ -151,6 +154,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         n_streams = args.streams
         source = _synthetic_source(n_streams, (h, w))
 
+    if args.int8:
+        # calibrate on one real frame batch from the actual sources
+        first = source(0)
+        det.quantize_int8(first)
+        cfg = det.config
+        import dataclasses
+        cfg = dataclasses.replace(cfg, model=det.model_cfg)
     sd = StreamingDetector(det.variables, det.offline_vocabulary,
                            n_streams, frame_hw=(h, w), config=cfg)
     counts = []
