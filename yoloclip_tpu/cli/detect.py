@@ -43,6 +43,9 @@ def parse_args(argv: Optional[List[str]] = None):
                    help='Classes to detect (comma-separated)')
     p.add_argument('--backbone', type=str, default=None,
                    help='Backbone variant (n/s/m/l/x)')
+    p.add_argument('--int8', action='store_true',
+                   help='serve the W8A8 selective-int8 deploy graph '
+                        '(calibrated on the first input image)')
     p.add_argument('--text-checkpoint', type=str, default=None,
                    help='Converted CLIP text-tower weights (.npz/.pt)')
     p.add_argument('--device', type=str, default=None,
@@ -96,6 +99,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                        if f.lower().endswith(exts))
     else:
         paths = [args.input]
+
+    if args.int8:
+        from yoloclip_tpu.data.coco import _imread_rgb
+        detector.quantize_int8(_imread_rgb(paths[0])[None])
 
     os.makedirs(cfg.output_dir, exist_ok=True)
     for path in paths:
