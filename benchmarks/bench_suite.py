@@ -453,7 +453,7 @@ def bench_int8_latency():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--configs', default='1,2,3,4,5,6,7,8,9,10,11,12,13,14,15')
+    ap.add_argument('--configs', default='1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16')
     args = ap.parse_args()
     wanted = set(args.configs.split(','))
     if '1' in wanted:
@@ -484,6 +484,11 @@ def main():
         bench_int8(classes=1203)
     if '13' in wanted:
         bench_int8_latency()
+    if '16' in wanted:
+        # larger-batch training: the step is HBM-bandwidth-saturated at
+        # bs=64 (90% of 819 GB/s; remat measured SLOWER -- see RESULTS),
+        # bigger batches amortize fixed traffic instead
+        bench_train_step(batch=128)
     if '15' in wanted:
         # serving density: more streams per chip amortize the small-batch
         # inefficiency (bs=8 runs the chip at ~2/3 of its bs=32 rate)
