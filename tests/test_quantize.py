@@ -239,3 +239,19 @@ def test_build_quant_forward_jits_and_runs():
     out = fwd(images)
     assert out['boxes'].shape == (2, cfg.num_anchors(), 4)
     assert np.isfinite(np.asarray(out['scores'])).all()
+
+
+def test_build_quant_forward_with_fused_nms():
+    cfg = ModelConfig(backbone_variant='n', image_size=(160, 160))
+    model = YOLOCLIP(cfg)
+    npr = np.random.RandomState(2)
+    images = jnp.asarray(npr.rand(2, 160, 160, 3), jnp.float32)
+    text = jnp.asarray(npr.randn(6, 512), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), images, text)
+
+    fwd = build_quant_forward(
+        cfg, variables, text, images,
+        nms={'conf_threshold': -10.0, 'topk': 64, 'max_detections': 8})
+    det = fwd(images)
+    assert det['boxes'].shape == (2, 8, 4)
+    assert int(np.asarray(det['count']).sum()) > 0

@@ -34,3 +34,35 @@ def test_reparam_forward_runs_and_differs_only_by_ipool():
     std = model.apply(variables, images, vocab)
     assert not np.allclose(np.asarray(std['text_embeddings'][0]),
                            np.asarray(vocab))
+
+
+def test_reparam_forward_with_fused_nms():
+    """nms= kwarg runs NMS inside the SAME jitted program (one-program
+    deploy: unused obj_embeddings are DCE'd) and matches the two-step
+    compose."""
+    from yoloclip_tpu.ops.nms import batched_nms
+
+    cfg = ModelConfig(image_size=(128, 128))
+    model = YOLOCLIP(cfg)
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.uniform(rng, (2, 128, 128, 3))
+    vocab = jax.random.normal(rng, (5, 512))
+    vocab = vocab / jnp.linalg.norm(vocab, axis=-1, keepdims=True)
+    variables = model.init(rng, images, vocab)
+
+    fwd = build_reparam_forward(
+        model, variables, vocab,
+        nms={'conf_threshold': -10.0, 'iou_threshold': 0.45,
+             'topk': 64, 'max_detections': 8})
+    det = fwd(images)
+    assert set(det) >= {'boxes', 'scores', 'class_ids', 'count'}
+    assert det['boxes'].shape == (2, 8, 4)
+
+    out = build_reparam_forward(model, variables, vocab)(images)
+    want = batched_nms(out['boxes'], out['scores'], out['class_ids'],
+                       -10.0, 0.45, topk=64, max_detections=8)
+    np.testing.assert_allclose(np.asarray(det['boxes']),
+                               np.asarray(want['boxes']),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(det['class_ids']),
+                                  np.asarray(want['class_ids']))

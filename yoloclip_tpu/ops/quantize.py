@@ -180,11 +180,17 @@ def build_quant_forward(cfg, variables, vocabulary: jax.Array,
                         calib_images: jax.Array,
                         class_mask: Optional[jax.Array] = None,
                         fused_scores: Optional[bool] = None,
-                        skip_image_pool: bool = True) -> Callable:
+                        skip_image_pool: bool = True,
+                        nms: Optional[Dict] = None) -> Callable:
     """int8 sibling of `ops.reparam.build_reparam_forward`: returns a jitted
     `fn(images) -> output dict` running the W8A8 deploy graph with the
     vocabulary baked in. Calibration uses `calib_images` (a representative
     (N, H, W, 3) float batch) against the same vocabulary.
+
+    nms: optional `batched_nms` kwargs dict -- runs NMS inside the SAME
+    jitted program so the unused obj_embeddings are dead-code-eliminated
+    instead of materializing between two programs (see
+    `build_reparam_forward`'s note; worth ~5% e2e at bs=32 on v5e).
     """
     vocab_const = jnp.asarray(vocabulary)
     if fused_scores is None:
@@ -197,9 +203,17 @@ def build_quant_forward(cfg, variables, vocabulary: jax.Array,
 
     @jax.jit
     def forward(images: jax.Array) -> Dict[str, jax.Array]:
-        return qmodel.apply(qvars, images, vocab_const,
-                            class_mask=mask_const,
-                            skip_image_pool=skip_image_pool,
-                            fused_scores=fused_scores)
+        out = qmodel.apply(qvars, images, vocab_const,
+                           class_mask=mask_const,
+                           skip_image_pool=skip_image_pool,
+                           fused_scores=fused_scores)
+        if nms is None:
+            return out
+        from yoloclip_tpu.ops.nms import batched_nms
+        kw = dict(nms)
+        conf = kw.pop('conf_threshold', 0.25)
+        iou = kw.pop('iou_threshold', 0.45)
+        return batched_nms(out['boxes'], out['scores'], out['class_ids'],
+                           conf, iou, **kw)
 
     return forward

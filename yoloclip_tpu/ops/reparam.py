@@ -31,12 +31,21 @@ import jax.numpy as jnp
 
 def build_reparam_forward(model, variables, vocabulary: jax.Array,
                           class_mask: Optional[jax.Array] = None,
-                          fused_scores: Optional[bool] = None) -> Callable:
+                          fused_scores: Optional[bool] = None,
+                          nms: Optional[Dict] = None) -> Callable:
     """Returns jitted `fn(images) -> output dict` with the vocabulary and
     weights baked in as compile-time constants.
 
     model: YOLOCLIP module; vocabulary: (C, E) offline text matrix.
     fused_scores: None = auto (Pallas streaming-max scoring on TPU).
+    nms: optional dict of `batched_nms` kwargs (e.g. {'conf_threshold':
+      0.25, 'iou_threshold': 0.45, 'topk': 1024, 'max_detections': 300}).
+      When given, NMS runs INSIDE the same jitted program and the fn
+      returns the batched detection dict. This matters for throughput:
+      composing a separate NMS program materializes the unused
+      obj_embeddings (~430 MB per bs=32 batch) in HBM between programs,
+      while the fused program dead-code-eliminates them (measured +3% bf16,
+      +5% int8 on v5e -- see benchmarks/RESULTS.md).
     """
     vocab_const = jnp.asarray(vocabulary)
     mask_const = None if class_mask is None else jnp.asarray(class_mask)
@@ -46,8 +55,16 @@ def build_reparam_forward(model, variables, vocabulary: jax.Array,
 
     @jax.jit
     def forward(images: jax.Array) -> Dict[str, jax.Array]:
-        return model.apply(variables, images, vocab_const,
-                           class_mask=mask_const, skip_image_pool=True,
-                           fused_scores=fused_scores)
+        out = model.apply(variables, images, vocab_const,
+                          class_mask=mask_const, skip_image_pool=True,
+                          fused_scores=fused_scores)
+        if nms is None:
+            return out
+        from yoloclip_tpu.ops.nms import batched_nms
+        kw = dict(nms)
+        conf = kw.pop('conf_threshold', 0.25)
+        iou = kw.pop('iou_threshold', 0.45)
+        return batched_nms(out['boxes'], out['scores'], out['class_ids'],
+                           conf, iou, **kw)
 
     return forward
