@@ -453,7 +453,7 @@ def bench_int8_latency():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--configs', default='1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16')
+    ap.add_argument('--configs', default='1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17')
     args = ap.parse_args()
     wanted = set(args.configs.split(','))
     if '1' in wanted:
@@ -484,6 +484,9 @@ def main():
         bench_int8(classes=1203)
     if '13' in wanted:
         bench_int8_latency()
+    if '17' in wanted:
+        # peak: int8 at bs=128 (bf16 peak is config 7)
+        bench_int8(batch=128)
     if '16' in wanted:
         # larger-batch training: the step is HBM-bandwidth-saturated at
         # bs=64 (90% of 819 GB/s; remat measured SLOWER -- see RESULTS),
