@@ -140,21 +140,17 @@ def bench_batched(batch=32, classes=80, tag='coco80'):
 
 
 def bench_reparam(batch=32):
-    from yoloclip_tpu.ops.nms import batched_nms
     from yoloclip_tpu.ops.reparam import build_reparam_forward
     model, variables, text = _model()
-    fwd = build_reparam_forward(model, variables, text)
+    # the SHIPPED one-program deploy entry point: nms= runs NMS inside the
+    # same jitted program, so the unused obj_embeddings (~430 MB/batch at
+    # bs=32) are dead-code-eliminated instead of materializing in HBM
+    pipeline = build_reparam_forward(
+        model, variables, text,
+        nms={'conf_threshold': 0.25, 'iou_threshold': 0.45,
+             'topk': 1024, 'max_detections': 300})
     images = jax.random.uniform(jax.random.PRNGKey(1),
                                 (batch, 640, 640, 3), jnp.float32)
-
-    @jax.jit
-    def pipeline(images):
-        # ONE program: the jitted fwd inlines here, so the unused
-        # obj_embeddings (~430 MB/batch at bs=32) are dead-code-eliminated
-        # instead of materializing in HBM between two separate programs
-        out = fwd(images)
-        return batched_nms(out['boxes'], out['scores'], out['class_ids'],
-                           0.25, 0.45, topk=1024, max_detections=300)
 
     dt = _throughput_time(pipeline, images)
     emit(f'reparam_bs{batch}_throughput', batch / dt, 'images/sec/chip', 400)
@@ -359,14 +355,10 @@ def bench_int8(batch=32, classes=80, variant='n'):
     emit(f'int8_{variant}{ctag}_bs{batch}_throughput', batch / dt,
          'images/sec/chip', 400)
 
-    fwd = build_quant_forward(cfg, variables, text, images[:8])
-
-    @jax.jit
-    def deploy(images):
-        # one program -- see bench_reparam's DCE note
-        out = fwd(images)
-        return batched_nms(out['boxes'], out['scores'], out['class_ids'],
-                           0.25, 0.45, topk=1024, max_detections=300)
+    deploy = build_quant_forward(
+        cfg, variables, text, images[:8],
+        nms={'conf_threshold': 0.25, 'iou_threshold': 0.45,
+             'topk': 1024, 'max_detections': 300})   # one-program deploy
 
     dt = _throughput_time(deploy, images)
     emit(f'int8_{variant}{ctag}_reparam_bs{batch}_throughput', batch / dt,

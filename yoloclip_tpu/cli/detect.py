@@ -101,6 +101,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         paths = [args.input]
 
     if args.int8:
+        if not paths:
+            logger.warning('--int8: no input images found, nothing to do')
+            return
         from yoloclip_tpu.data.coco import _imread_rgb
         detector.quantize_int8(_imread_rgb(paths[0])[None])
 

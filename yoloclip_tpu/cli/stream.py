@@ -155,12 +155,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         source = _synthetic_source(n_streams, (h, w))
 
     if args.int8:
-        # calibrate on one real frame batch from the actual sources
+        # calibrate on one real frame batch from the actual sources; NOTE
+        # stateful sources (videos/image dirs) advance -- the calibration
+        # batch is consumed and serving starts at the next frame
         first = source(0)
+        if first is None:
+            raise SystemExit('--int8 calibration failed: the frame source '
+                             'produced no frames (empty/corrupt input?)')
         det.quantize_int8(first)
-        cfg = det.config
-        import dataclasses
-        cfg = dataclasses.replace(cfg, model=det.model_cfg)
+        cfg = det.config            # quantize_int8 keeps config.model in sync
     sd = StreamingDetector(det.variables, det.offline_vocabulary,
                            n_streams, frame_hw=(h, w), config=cfg)
     counts = []

@@ -34,6 +34,14 @@ def main(argv=None) -> None:
     ap.add_argument('--frame-sizes', default='',
                     help='comma-separated HxW single-image detect() input '
                          'resolutions to compile (e.g. 1080x1920,480x854)')
+    ap.add_argument('--host-preprocess', default='auto',
+                    choices=['auto', 'on', 'off'],
+                    help="detect() preprocessing route to warm. 'auto'/'on' "
+                         'use the resolution-independent host-letterbox + '
+                         'canvas program; \'off\' compiles one DEVICE-'
+                         'letterbox program PER --frame-sizes resolution -- '
+                         'match this to your serving config or the per-'
+                         'resolution compiles happen under traffic')
     ap.add_argument('--int8', action='store_true',
                     help='warm the W8A8 deploy graph instead of bf16')
     ap.add_argument('--conf', type=float, default=0.25)
@@ -48,8 +56,9 @@ def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO, format='%(message)s')
 
     S = args.image_size
+    hp = {'auto': 'auto', 'on': True, 'off': False}[args.host_preprocess]
     cfg = InferenceConfig(model=ModelConfig(image_size=(S, S)),
-                          conf_threshold=args.conf)
+                          conf_threshold=args.conf, host_preprocess=hp)
     class_names = [c.strip() for c in args.classes.split(',') if c.strip()]
     det = YOLOCLIPDetector(model_path=args.model, class_names=class_names,
                            config=cfg, text_checkpoint=args.text_checkpoint)

@@ -151,6 +151,9 @@ class YOLOCLIPDetector:
         _, qvars = quantize_model(self.model_cfg, self.variables,
                                   [(canvases, text)])
         self.model_cfg = dataclasses.replace(self.model_cfg, quant='int8')
+        # keep config.model consistent so callers passing self.config
+        # onward (stream CLI, exporters) build the int8 graph, not float
+        self.config = dataclasses.replace(self.config, model=self.model_cfg)
         self.model = YOLOCLIP(self.model_cfg)
         self.variables = qvars
         self.quantized = True

@@ -51,9 +51,11 @@ def resize_bilinear(img: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
 
     Layout: the contraction's FREE side is kept wide (W*C flattened for the
     H-pass, W moved minor-most for the W-pass) instead of leaving C=3 as
-    the minor dim, which would use 3 of the MXU's 128 lanes. Bit-exact vs
-    the naive einsum order and ~15% faster at 1080p->640 (measured v5e);
-    the two transposes are cheap next to channel-minor matmuls.
+    the minor dim, which would use 3 of the MXU's 128 lanes. Numerically
+    equivalent to the naive einsum order up to fp32 reassociation (<=~3e-5
+    abs on 0-255 inputs; identical on TPU in the measured cases) and ~15%
+    faster at 1080p->640 (measured v5e); the two transposes are cheap next
+    to channel-minor matmuls.
     """
     H, W, C = img.shape
     oh, ow = out_hw
