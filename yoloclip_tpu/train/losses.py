@@ -162,11 +162,30 @@ def iou_loss(pred_boxes: jax.Array, target_boxes: jax.Array,
              weights: Optional[jax.Array] = None, iou_type: str = 'ciou',
              reduction: str = 'mean', eps: float = 1e-7) -> jax.Array:
     """Ref `loss/iou_loss.py:44-97`: optional elementwise weights, then
-    mean over ALL entries (invalid rows count in the denominator)."""
+    mean over ALL entries (invalid rows count in the denominator).
+
+    Weight shape fixups reproduce ref `:63-89` exactly: a 2-D weight
+    against a 3-D loss is truncated / zero-padded along axis 1 and then
+    unsqueezed; a weight whose axis-1 width STILL mismatches the loss is
+    silently IGNORED (the reference logs a warning and proceeds
+    unweighted). Shapes are static under jit, so this is plain Python
+    control flow at trace time."""
     _, loss = iou_family(pred_boxes.astype(jnp.float32),
                          target_boxes.astype(jnp.float32), iou_type, eps)
     if weights is not None:
-        loss = loss * weights.astype(loss.dtype)
+        w = weights.astype(loss.dtype)
+        if loss.ndim == 3 and w.ndim == 2:
+            if w.shape[1] > loss.shape[1]:
+                w = w[:, :loss.shape[1]]
+            elif w.shape[1] < loss.shape[1]:
+                w = jnp.concatenate(
+                    [w, jnp.zeros((w.shape[0], loss.shape[1] - w.shape[1]),
+                                  w.dtype)], axis=1)
+            w = w[..., None]
+        if w.ndim >= 2 and loss.ndim >= 2 and w.shape[1] != loss.shape[1]:
+            pass        # ref :86-87: mismatched weights are dropped
+        else:
+            loss = loss * w
     if reduction == 'mean':
         return jnp.mean(loss)
     if reduction == 'sum':

@@ -62,6 +62,66 @@ def load_reference() -> types.SimpleNamespace:
                                  detector=ref_detector)
 
 
+def load_reference_losses() -> types.SimpleNamespace:
+    """Import the reference's OWN loss modules (torch-only, no stubs
+    needed beyond install_stubs) for use as training-math oracles:
+    `loss/region_text_contrastive.py:10`, `loss/iou_loss.py:11`,
+    `loss/dfl_loss.py:10`."""
+    install_stubs()
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    from yolo_clip_detector.loss.dfl_loss import DistributedFocalLoss
+    from yolo_clip_detector.loss.iou_loss import IoULoss
+    from yolo_clip_detector.loss.region_text_contrastive import \
+        RegionTextContrastiveLoss
+    return types.SimpleNamespace(
+        RegionTextContrastiveLoss=RegionTextContrastiveLoss,
+        IoULoss=IoULoss, DistributedFocalLoss=DistributedFocalLoss)
+
+
+def reference_combined_objective(outputs: Dict, batch: Dict,
+                                 loss_weights: Dict[str, float],
+                                 temperature: float = 0.1,
+                                 iou_type: str = 'ciou',
+                                 topk: int = 3,
+                                 label_smoothing: float = 0.0):
+    """The reference trainer's combined training objective
+    (`/root/reference/yolo_clip_detector/train/trainer.py:142-194`) on
+    torch tensors, using the reference's OWN loss modules. Only the
+    trainer's glue (pred-box truncate/pad at :159-173 and the weighted sum
+    at :190-194) is replicated here -- the loss math is reference code.
+
+    The DFL term is a literal 0: the reference dataset never emits
+    `box_targets`, so `trainer.py:181` never fires (SURVEY bug #5).
+    Returns (total, parts) as torch scalars (differentiable)."""
+    import torch
+    losses = load_reference_losses()
+    cont_mod = losses.RegionTextContrastiveLoss(
+        temperature=temperature, topk=topk, label_smoothing=label_smoothing)
+    iou_mod = losses.IoULoss(iou_type=iou_type)
+
+    cont = cont_mod(outputs['obj_embeddings'], outputs['text_embeddings'],
+                    batch['class_ids'], batch.get('valid_mask'))
+    pred_boxes = outputs['boxes']
+    boxes = batch['boxes']
+    if pred_boxes.shape[1] != boxes.shape[1]:          # trainer.py:159-173
+        if pred_boxes.shape[1] > boxes.shape[1]:
+            pred_boxes = pred_boxes[:, :boxes.shape[1], :]
+        else:
+            padding = torch.zeros(pred_boxes.shape[0],
+                                  boxes.shape[1] - pred_boxes.shape[1],
+                                  pred_boxes.shape[2],
+                                  dtype=pred_boxes.dtype)
+            pred_boxes = torch.cat([pred_boxes, padding], dim=1)
+    iou = iou_mod(pred_boxes, boxes, batch.get('valid_mask'))
+    dfl = torch.tensor(0.0)
+    total = (loss_weights['contrastive'] * cont
+             + loss_weights['iou'] * iou
+             + loss_weights['dfl'] * dfl)
+    return total, {'loss': total, 'contrastive_loss': cont,
+                   'iou_loss': iou, 'dfl_loss': dfl}
+
+
 def build_reference_composite(cfg, variables: Dict, num_classes: int,
                               text_np: Optional[np.ndarray] = None,
                               ref: Optional[types.SimpleNamespace] = None):
