@@ -9,6 +9,18 @@ greedy-matching AP (PR envelope / 101-point behavior equivalent to the
 all-points interpolation) as the authoritative metric, and keeps the same
 entry-point signature `calculate_map(predictions, targets)` so the trainer
 wiring matches the reference call sites (`train/trainer.py:331-354`).
+
+`calculate_map_compat` additionally reproduces the reference evaluator's
+semantics for apples-to-apples numbers with reference runs -- with one
+unavoidable divergence: the reference's `np.delete(all_targets,
+batch_targets[max_iou_idx])` passes a float ROW (batch_idx + 4 box coords)
+as the index array, which raises IndexError on ANY true positive under
+every modern numpy (verified against the reference code itself in
+tests/test_metrics.py). The compat mode applies the plainly intended
+deletion (remove the matched row) and keeps every other quirk faithfully:
+per-BATCH rather than per-image matching, no matched-flag bookkeeping
+beyond deletion, the recall denominator that SHRINKS to the remaining
+target count, the +1e-7 precision epsilon, and the resort-by-recall AP.
 """
 
 from __future__ import annotations
@@ -118,6 +130,88 @@ def ap_per_class_at_iou(predictions: Sequence[Dict],
     recalls = ctp / max(total_gt, 1)
     precisions = ctp / np.maximum(ctp + cfp, 1e-9)
     return average_precision(recalls, precisions)
+
+
+def _compat_ap(recalls: np.ndarray, precisions: np.ndarray) -> float:
+    """Reference `calculate_ap` (`utils/metrics.py:83-111`): resort by
+    recall first (a no-op for nondecreasing cumsum recalls, kept anyway),
+    then the same all-points envelope."""
+    i = np.argsort(recalls, kind='stable')
+    return average_precision(recalls[i], precisions[i])
+
+
+def _compat_ap_at_iou(preds: Sequence[Dict], targets: Sequence[Dict],
+                      class_id: int, iou_threshold: float) -> float:
+    """Reference `calculate_ap_at_iou` (`utils/metrics.py:151-238`)
+    semantics; quirks kept (see module docstring), the fatal float-index
+    `np.delete` replaced by the intended matched-row deletion."""
+    all_preds, all_targets = [], []
+    for batch_idx in range(len(preds)):
+        p, t = preds[batch_idx], targets[batch_idx]
+        pm = np.asarray(p['class_ids']).reshape(-1) == class_id
+        boxes = np.asarray(p['boxes'], np.float64).reshape(-1, 4)[pm]
+        scores = np.asarray(p['scores'], np.float64).reshape(-1)[pm]
+        tm = np.asarray(t['class_ids']).reshape(-1) == class_id
+        # the reference never consults valid_mask here (quirk kept:
+        # padded GT rows count as real targets if their class matches)
+        tboxes = np.asarray(t['boxes'], np.float64).reshape(-1, 4)[tm]
+        all_preds.append(np.column_stack(
+            (np.full(len(boxes), batch_idx, np.float64), boxes, scores)))
+        all_targets.append(np.column_stack(
+            (np.full(len(tboxes), batch_idx, np.float64), tboxes)))
+    if not all_preds or not all_targets:
+        return 0.0
+    all_preds = np.vstack(all_preds)
+    all_targets = np.vstack(all_targets)
+    all_preds = all_preds[all_preds[:, -1].argsort()[::-1]]
+
+    tp = np.zeros(len(all_preds))
+    fp = np.zeros(len(all_preds))
+    for i, pred in enumerate(all_preds):
+        batch_idx = int(pred[0])
+        # per-BATCH pools (quirk kept): a prediction may match a target
+        # from a different image in the same accumulated batch entry
+        in_batch = all_targets[:, 0] == batch_idx
+        target_boxes = all_targets[in_batch][:, 1:5]
+        if len(target_boxes) == 0:
+            fp[i] = 1
+            continue
+        ious = bbox_iou_matrix(pred[None, 1:5], target_boxes)[0]
+        j = int(np.argmax(ious))
+        if ious[j] >= iou_threshold:
+            # intended :224 semantics: consume the matched target
+            row = np.flatnonzero(in_batch)[j]
+            all_targets = np.delete(all_targets, row, axis=0)
+            tp[i] = 1
+        else:
+            fp[i] = 1
+
+    ctp, cfp = np.cumsum(tp), np.cumsum(fp)
+    # quirk kept (:233): denominator = REMAINING targets after deletion,
+    # so recall inflates as targets are consumed (recall > 1 possible)
+    recalls = ctp / max(len(all_targets), 1)
+    precisions = ctp / (ctp + cfp + 1e-7)
+    return _compat_ap(recalls, precisions)
+
+
+def calculate_map_compat(preds: Sequence[Dict], targets: Sequence[Dict]
+                         ) -> Tuple[float, float]:
+    """Reference-compat (mAP@50, mAP@50-95): `utils/metrics.py:113-149`
+    with `_compat_ap_at_iou` per class over linspace(0.5, 0.95, 10).
+    NOT COCO-comparable -- use `calculate_map` for real numbers."""
+    class_ids = set()
+    for t in targets:
+        class_ids.update(np.unique(np.asarray(t['class_ids'])).tolist())
+    class_ids = sorted(int(c) for c in class_ids)
+    if not class_ids:
+        return 0.0, 0.0
+    ap50 = np.zeros(len(class_ids))
+    ap = np.zeros(len(class_ids))
+    for i, c in enumerate(class_ids):
+        ap50[i] = _compat_ap_at_iou(preds, targets, c, 0.5)
+        ap[i] = np.mean([_compat_ap_at_iou(preds, targets, c, t)
+                         for t in np.linspace(0.5, 0.95, 10)])
+    return float(ap50.mean()), float(ap.mean())
 
 
 def calculate_map(predictions: Sequence[Dict], targets: Sequence[Dict],
