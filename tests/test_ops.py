@@ -94,6 +94,69 @@ def test_nms_class_agnostic():
     assert int(out['class_ids'][0]) == 0
 
 
+def reference_unbounded_nms(boxes, scores, conf, iou_t):
+    """The reference's OWN conf-filter + unbounded greedy `_nms`
+    (`inference/detector.py:183-256`) on raw candidates -> kept scores
+    (descending). Oracle for the prefilter tests; skips if the reference
+    package is absent."""
+    from yoloclip_tpu.utils import refbridge
+    if not refbridge.reference_available():
+        pytest.skip('reference package not present')
+    ref = refbridge.load_reference()
+    det = ref.detector.YOLOCLIPDetector.__new__(ref.detector.YOLOCLIPDetector)
+    mask = scores > conf
+    b, s = boxes[mask].astype(np.float64), scores[mask]
+    keep = det._nms(b, s, iou_t)
+    return s[keep], b[keep]
+
+
+@pytest.mark.parametrize('seed', [0, 1])
+def test_nms_prefilter_unsaturated_matches_reference(seed):
+    """Low conf + dense overlapping candidates, but still <= topk above
+    threshold: the fixed-K result must EQUAL the reference's unbounded
+    greedy loop at the K boundary (round-2 verdict weak #6)."""
+    rng = np.random.RandomState(seed)
+    # 120 candidates clustered in a tiny region -> heavy suppression chains
+    xy = rng.rand(120, 2) * 60
+    wh = rng.rand(120, 2) * 50 + 20
+    boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+    scores = rng.rand(120).astype(np.float32)
+    conf, iou_t = 0.01, 0.5            # everything passes conf
+    out = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores), conf, iou_t,
+                    topk=128, max_detections=128)
+    assert not bool(out['prefilter_saturated'])
+    want_scores, want_boxes = reference_unbounded_nms(boxes, scores, conf,
+                                                      iou_t)
+    n = int(out['count'])
+    assert n == len(want_scores)
+    np.testing.assert_allclose(np.asarray(out['scores'])[:n], want_scores,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out['boxes'])[:n], want_boxes,
+                               rtol=1e-6)
+
+
+def test_nms_prefilter_saturation_flag():
+    """More candidates above conf than topk: the sentinel must fire (and
+    is exactly the condition under which fixed-K may drop candidates the
+    unbounded reference loop would keep)."""
+    boxes, scores = random_boxes(200, 7)
+    out = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores),
+                    conf_threshold=0.01, iou_threshold=0.45,
+                    topk=32, max_detections=32)
+    assert bool(out['prefilter_saturated'])
+    # sanity: kept results are the top-K-restricted greedy answer -- the
+    # K highest-scoring candidates, greedily suppressed
+    mask = scores > 0.01
+    idx = np.argsort(scores[mask])[::-1][:32]
+    want = numpy_greedy_nms(boxes[mask][idx], scores[mask][idx], 0.45)
+    assert int(out['count']) == len(want)
+    # below the threshold, same geometry -> flag clear
+    out2 = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores),
+                     conf_threshold=0.01, iou_threshold=0.45,
+                     topk=256, max_detections=32)
+    assert not bool(out2['prefilter_saturated'])
+
+
 def test_batched_nms_shapes():
     boxes, scores = random_boxes(100, 4)
     b = jnp.stack([jnp.asarray(boxes)] * 3)

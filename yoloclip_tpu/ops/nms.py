@@ -115,8 +115,9 @@ def nms_fixed(boxes: jax.Array, scores: jax.Array,
     """Single-image NMS with fixed output shapes.
 
     boxes: (A, 4) xyxy; scores: (A,); class_ids: (A,) optional.
-    Returns dict with boxes (D,4), scores (D,), class_ids (D,), valid (D,)
-    and count () where D = max_detections, entries sorted by score desc.
+    Returns dict with boxes (D,4), scores (D,), class_ids (D,), valid (D,),
+    count () and prefilter_saturated () where D = max_detections, entries
+    sorted by score desc.
     """
     out = batched_nms(boxes[None], scores[None],
                       None if class_ids is None else class_ids[None],
@@ -147,8 +148,13 @@ def batched_nms(boxes: jax.Array, scores: jax.Array,
     method = _resolve_method(method)
     B, A = scores.shape
     K = min(topk, A)
-    scores_f = jnp.where(scores > conf_threshold,
-                         scores.astype(jnp.float32), NEG_INF)
+    above = scores > conf_threshold
+    scores_f = jnp.where(above, scores.astype(jnp.float32), NEG_INF)
+    # saturation sentinel: with MORE than K candidates over the
+    # confidence threshold the prefilter drops real candidates and the
+    # result may diverge from unbounded greedy NMS (round-2 verdict weak
+    # #6); callers can alert / raise topk when this fires
+    saturated = jnp.sum(above.astype(jnp.int32), axis=-1) > K
     top_scores, top_idx = jax.lax.top_k(scores_f, K)          # (B, K)
     top_boxes = jnp.take_along_axis(
         boxes.astype(jnp.float32), top_idx[..., None], axis=1)
@@ -177,6 +183,7 @@ def batched_nms(boxes: jax.Array, scores: jax.Array,
         'scores': jnp.where(out_valid, out_scores, 0.0),
         'valid': out_valid,
         'count': jnp.sum(out_valid.astype(jnp.int32), axis=-1),
+        'prefilter_saturated': saturated,
     }
     if class_ids is not None:
         top_cls = jnp.take_along_axis(class_ids, top_idx, axis=1)
