@@ -118,3 +118,133 @@ def synth_text_embeddings(num_classes: int = 6, embed_dim: int = 512,
     rs = np.random.RandomState(seed)
     t = rs.randn(num_classes, embed_dim).astype(np.float32)
     return t / np.linalg.norm(t, axis=-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------
+# open-vocabulary family: appearance IS a function of the embedding
+# ---------------------------------------------------------------------
+def _fibonacci_sphere(n: int) -> np.ndarray:
+    """n well-separated unit directions on S^2 (deterministic)."""
+    i = np.arange(n, dtype=np.float64) + 0.5
+    phi = np.arccos(1 - 2 * i / n)
+    theta = np.pi * (1 + 5 ** 0.5) * i
+    return np.stack([np.sin(phi) * np.cos(theta),
+                     np.sin(phi) * np.sin(theta),
+                     np.cos(phi)], axis=1).astype(np.float32)
+
+
+def make_open_vocab_family(n_classes: int, embed_dim: int = 512,
+                           seed: int = 11) -> Dict[str, np.ndarray]:
+    """Class family where APPEARANCE is a deterministic function of the
+    class EMBEDDING -- the setup that makes held-out-class (zero-shot)
+    detection measurable offline (round-2 verdict missing #2; the
+    reference capability under test: detect classes named only at
+    inference time, `clip/vocab_builder.py:44`, `model/yolo_clip.py:225`).
+
+    Construction: class c gets a unit direction u_c on the Fibonacci
+    sphere (well-separated, deterministic); its draw color is
+    0.5 + 0.35*u_c and its text embedding is normalize(B @ u_c) for a
+    fixed orthonormal B (embed_dim x 3). Color and embedding are thus
+    linked through the SAME latent: a detector that learns the
+    color -> embedding map on training classes scores held-out classes
+    correctly from their embeddings alone. Object shape is sampled per
+    OBJECT (not per class), so it is appearance noise the mapping must be
+    invariant to.
+
+    Returns {'colors' (C, 3) in [0.15, 0.85], 'embeddings' (C, E) unit,
+    'latent' (C, 3)}.
+    """
+    u = _fibonacci_sphere(n_classes)
+    rs = np.random.RandomState(seed)
+    b = rs.randn(embed_dim, 3).astype(np.float64)
+    b, _ = np.linalg.qr(b)                       # orthonormal columns
+    emb = (b @ u.T.astype(np.float64)).T
+    emb = (emb / np.linalg.norm(emb, axis=-1, keepdims=True)
+           ).astype(np.float32)
+    colors = (0.5 + 0.35 * u).astype(np.float32)
+    return {'colors': colors, 'embeddings': emb, 'latent': u}
+
+
+def make_open_vocab_detection_set(n_images: int, seed: int,
+                                  family: Dict[str, np.ndarray],
+                                  class_ids: np.ndarray,
+                                  image_size: int = 160,
+                                  max_objects: int = 8,
+                                  min_side: int = 24,
+                                  max_side: int = 64
+                                  ) -> Dict[str, np.ndarray]:
+    """Synthetic detection set over a subset of an open-vocab family.
+
+    class_ids: the FAMILY class ids usable in these images (train subset
+    or held-out subset). Emitted labels are LOCAL indices into class_ids
+    (matching a vocabulary built as family['embeddings'][class_ids]).
+    Same schema as `make_synth_detection_set`.
+    """
+    rs = np.random.RandomState(seed)
+    S, M = image_size, max_objects
+    colors = family['colors']
+    images = np.empty((n_images, S, S, 3), np.float32)
+    boxes = np.zeros((n_images, M, 4), np.float32)
+    cids = np.zeros((n_images, M), np.int32)
+    valid = np.zeros((n_images, M), bool)
+
+    for i in range(n_images):
+        img = np.clip(0.25 + 0.06 * rs.randn(S, S, 3), 0, 1
+                      ).astype(np.float32)
+        n_obj = rs.randint(2, 6)
+        placed = []
+        for _ in range(n_obj):
+            for _attempt in range(20):
+                w = rs.randint(min_side, max_side + 1)
+                h = rs.randint(min_side, max_side + 1)
+                x0 = rs.randint(0, S - w)
+                y0 = rs.randint(0, S - h)
+                box = np.array([x0, y0, x0 + w, y0 + h], np.float32)
+                ok = True
+                for pb in placed:
+                    ix = max(0, min(box[2], pb[0][2]) - max(box[0], pb[0][0]))
+                    iy = max(0, min(box[3], pb[0][3]) - max(box[1], pb[0][1]))
+                    inter = ix * iy
+                    union = (w * h + (pb[0][2] - pb[0][0])
+                             * (pb[0][3] - pb[0][1]) - inter)
+                    if inter / union > 0.35:
+                        ok = False
+                        break
+                if ok:
+                    break
+            else:
+                continue
+            local = rs.randint(0, len(class_ids))
+            fam_cls = int(class_ids[local])
+            shape = ('square', 'circle', 'triangle')[rs.randint(3)]
+            _draw_colored(img, colors[fam_cls], shape, x0, y0, w, h, rs)
+            placed.append((box, local))
+        images[i] = img
+        for j, (box, local) in enumerate(placed[:M]):
+            boxes[i, j] = box
+            cids[i, j] = local
+            valid[i, j] = True
+    return {'images': images, 'boxes': boxes, 'class_ids': cids,
+            'valid_mask': valid}
+
+
+def _draw_colored(img: np.ndarray, color: np.ndarray, shape: str,
+                  x0: int, y0: int, w: int, h: int,
+                  rs: np.random.RandomState) -> None:
+    """Draw one object of an explicit color + shape (open-vocab family:
+    color carries the class identity, shape is per-object noise)."""
+    c = np.clip(color + rs.uniform(-0.05, 0.05, 3), 0, 1)
+    H, W = img.shape[:2]
+    yy, xx = np.mgrid[0:H, 0:W]
+    if shape == 'square':
+        mask = (xx >= x0) & (xx < x0 + w) & (yy >= y0) & (yy < y0 + h)
+    elif shape == 'circle':
+        cx, cy = x0 + w / 2.0, y0 + h / 2.0
+        mask = (((xx - cx) / (w / 2.0)) ** 2
+                + ((yy - cy) / (h / 2.0)) ** 2) <= 1.0
+    else:
+        ty = (yy - y0) / max(h - 1, 1)
+        half = np.clip(ty, 0, 1) * (w / 2.0)
+        cx = x0 + w / 2.0
+        mask = (yy >= y0) & (yy < y0 + h) & (np.abs(xx - cx) <= half)
+    img[mask] = c.astype(np.float32)
