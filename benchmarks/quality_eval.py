@@ -170,9 +170,11 @@ def eval_reference(mcfg, state, val, text, conf, iou):
     return preds
 
 
-def eval_int8(mcfg, state, train, val, text, conf, iou):
+def eval_int8(mcfg, state, train, val, text, conf, iou,
+              calibration='max'):
     """Quantize the trained weights (W8A8, ops/quantize.py) and evaluate
-    through the same batched inference path. Calibration: 32 train images."""
+    through the same batched inference path. Calibration: 32 train images,
+    scheme 'max' or 'percentile'."""
     import jax
     import jax.numpy as jnp
 
@@ -183,7 +185,8 @@ def eval_int8(mcfg, state, train, val, text, conf, iou):
     variables = {'params': state.params, 'batch_stats': state.batch_stats}
     calib = jnp.asarray(train['images'][:32])
     qmodel, qvars = quantize_model(mcfg, variables,
-                                   [(calib, jnp.asarray(text))])
+                                   [(calib, jnp.asarray(text))],
+                                   calibration=calibration)
     S = val['images'].shape[1]
 
     @jax.jit
@@ -267,6 +270,10 @@ def main():
     ap.add_argument('--skip-reference', action='store_true')
     ap.add_argument('--int8', action='store_true',
                     help='also evaluate the W8A8 quantized deploy path')
+    ap.add_argument('--calibration', choices=['max', 'percentile'],
+                    default='max',
+                    help='int8 activation-scale scheme: max-abs or '
+                         '99.9th-percentile outlier clipping')
     ap.add_argument('--cache-state', default=None, metavar='PATH',
                     help='pickle the trained (params, batch_stats) here; '
                          'if the file exists, skip training and load it '
@@ -294,7 +301,21 @@ def main():
         print(f'loading cached trained state: {args.cache_state}',
               flush=True)
         with open(args.cache_state, 'rb') as f:
-            params, batch_stats = pickle.load(f)
+            blob = pickle.load(f)
+        if isinstance(blob, dict):
+            # validate the training config the cache was built with
+            # (ADVICE r2: a stale cache under a different --variant /
+            # --image-size fails with a cryptic tree mismatch or worse)
+            got = (blob['variant'], blob['image_size'])
+            want = (args.variant, args.image_size)
+            if got != want:
+                sys.exit(f'--cache-state {args.cache_state} was trained '
+                         f'with (variant, image_size)={got} but this run '
+                         f'asks for {want}; delete the cache or match the '
+                         f'flags')
+            params, batch_stats = blob['params'], blob['batch_stats']
+        else:   # legacy 2-tuple cache (pre round 3): no metadata to check
+            params, batch_stats = blob
 
         class _State:           # duck-typed: eval_* only read these two
             pass
@@ -313,9 +334,12 @@ def main():
         if args.cache_state:
             import pickle
             with open(args.cache_state, 'wb') as f:
-                pickle.dump((jax.tree.map(np.asarray, state.params),
-                             jax.tree.map(np.asarray, state.batch_stats)),
-                            f)
+                pickle.dump(
+                    {'params': jax.tree.map(np.asarray, state.params),
+                     'batch_stats': jax.tree.map(np.asarray,
+                                                 state.batch_stats),
+                     'variant': args.variant,
+                     'image_size': args.image_size}, f)
             print(f'trained state cached: {args.cache_state}', flush=True)
 
     val = make_synth_detection_set(args.val_images, seed=1000,
@@ -334,7 +358,7 @@ def main():
         train_set = make_synth_detection_set(args.train_images, seed=0,
                                              image_size=args.image_size)
         qp = eval_int8(mcfg, state, train_set, val, text, args.conf,
-                       args.iou)
+                       args.iou, calibration=args.calibration)
         qmap50, qmap50_95 = calculate_map(qp, targets)
         # score-agnostic match: int8 shifts the cosine scores (dequant
         # error + the deploy graph's bf16 float portions vs eval_ours'
@@ -343,6 +367,7 @@ def main():
         # separately instead of folding both into one tolerance
         agree, score_mad = detection_agreement_stats(ours, qp, iou_min=0.9)
         result.update({
+            'int8_calibration': args.calibration,
             'int8_map50': round(qmap50, 4),
             'int8_map50_95': round(qmap50_95, 4),
             'int8_map50_gap': round(abs(map50 - qmap50), 4),

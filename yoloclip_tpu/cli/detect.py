@@ -45,7 +45,9 @@ def parse_args(argv: Optional[List[str]] = None):
                    help='Backbone variant (n/s/m/l/x)')
     p.add_argument('--int8', action='store_true',
                    help='serve the W8A8 selective-int8 deploy graph '
-                        '(calibrated on the first input image)')
+                        '(activation scales calibrated on up to the first '
+                        '8 input images; with a single input, calibration '
+                        'is single-image and correspondingly weaker)')
     p.add_argument('--text-checkpoint', type=str, default=None,
                    help='Converted CLIP text-tower weights (.npz/.pt)')
     p.add_argument('--device', type=str, default=None,
@@ -103,9 +105,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.int8:
         if not paths:
             logger.warning('--int8: no input images found, nothing to do')
-            return
+            return 1
+        import numpy as np
+
         from yoloclip_tpu.data.coco import _imread_rgb
-        detector.quantize_int8(_imread_rgb(paths[0])[None])
+        # calibrate on up to the first 8 inputs (ADVICE r2: single-image
+        # calibration under-covers the activation range); inputs may have
+        # mixed resolutions, so letterbox each to the model canvas first
+        if detector._host_letterbox_available():
+            calib = np.stack([detector._host_letterbox(_imread_rgb(p))[0]
+                              for p in paths[:8]])
+        else:   # pure-XLA env: device letterbox needs uniform shapes
+            calib = _imread_rgb(paths[0])[None]
+        detector.quantize_int8(calib)
 
     os.makedirs(cfg.output_dir, exist_ok=True)
     for path in paths:

@@ -44,13 +44,17 @@ def _pack_detections(out: Dict[str, jax.Array]) -> jax.Array:
 
     Through a remote-TPU tunnel every device->host fetch costs a fixed
     round trip (~30 ms here); packing makes `detect()` pay exactly one
-    instead of four (count + boxes + scores + class_ids)."""
+    instead of four (count + boxes + scores + class_ids). Slot [0, 1]
+    carries the NMS prefilter-saturation flag (more candidates above the
+    confidence threshold than nms_topk -- results may be clipped)."""
     packed = jnp.concatenate([
         out['boxes'].astype(jnp.float32),
         out['scores'][:, None].astype(jnp.float32),
         out['class_ids'][:, None].astype(jnp.float32)], axis=1)
     head = jnp.zeros((1, 6), jnp.float32)
     head = head.at[0, 0].set(out['count'].astype(jnp.float32))
+    head = head.at[0, 1].set(
+        out['prefilter_saturated'].astype(jnp.float32))
     return jnp.concatenate([head, packed], axis=0)
 
 
@@ -115,12 +119,13 @@ class YOLOCLIPDetector:
         self._detect_batch_fn = self._build_detect_batch_fn()
         self.quantized = False
 
-    def quantize_int8(self, calib_images) -> None:
+    def quantize_int8(self, calib_images, calibration: str = 'max') -> None:
         """Swap the serving model for its W8A8 int8 twin (ops/quantize.py).
 
         calib_images: (N, H, W, 3) uint8/float frames (any same-size
         resolution) used to calibrate activation scales; they run through
-        the standard letterbox to the model canvas first. The full serve
+        the standard letterbox to the model canvas first. calibration:
+        'max' or 'percentile' (ops/quantize.py::_pick_act_amax). The full serve
         graph is kept (I-Pool included, in float) -- only the conv path
         quantizes -- so online prompts and vocabulary swaps keep working.
         Irreversible on this instance; build a new detector for float.
@@ -142,14 +147,20 @@ class YOLOCLIPDetector:
         canvases, _ = letterbox_batch(imgs, self.image_size)
         if self.offline_vocabulary is not None:
             text = self.offline_vocabulary
-        else:   # calibration only needs a plausible text input
+        elif self.class_names:
+            # encode the configured classes through the real text tower so
+            # activation scales in the text-guided CSP layers are fit to
+            # the distribution they will actually see (ADVICE r2: random
+            # unit-normal vectors are an unrealistic prompt distribution)
+            text = self.text_encoder(self.class_names)
+        else:   # no classes configured: plausible unit-norm fallback
             text = jax.random.normal(
-                jax.random.PRNGKey(0),
-                (len(self.class_names) or 80, self.model_cfg.embed_dim))
+                jax.random.PRNGKey(0), (80, self.model_cfg.embed_dim))
             text = text / jnp.linalg.norm(text, axis=-1, keepdims=True)
 
         _, qvars = quantize_model(self.model_cfg, self.variables,
-                                  [(canvases, text)])
+                                  [(canvases, text)],
+                                  calibration=calibration)
         self.model_cfg = dataclasses.replace(self.model_cfg, quant='int8')
         # keep config.model consistent so callers passing self.config
         # onward (stream CLI, exporters) build the int8 graph, not float
@@ -367,6 +378,12 @@ class YOLOCLIPDetector:
                                      jnp.float32(self.conf_threshold),
                                      jnp.float32(self.iou_threshold))
         packed = np.asarray(packed)        # the ONE device->host fetch
+        if packed[0, 1] > 0:
+            logger.warning(
+                'NMS prefilter saturated: more than nms_topk=%d candidates '
+                'above conf %.3g -- detections may be clipped; raise '
+                'config.nms_topk or the confidence threshold',
+                self.config.nms_topk, float(self.conf_threshold))
         n = int(packed[0, 0])
         boxes = packed[1:1 + n, :4]
         scores = packed[1:1 + n, 4]
