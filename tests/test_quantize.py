@@ -167,6 +167,97 @@ def test_calibrate_amax_reduces_over_batches():
     assert stem2 == pytest.approx(float(img_big.max()))
 
 
+def test_percentile_calibration():
+    """'percentile' calibration clips outliers: scales come from the
+    99.9th |x| percentile (<= amax), and the quantized model still
+    tracks float closely on an outlier-free input."""
+    from yoloclip_tpu.ops.quantize import quantize_variables
+
+    cfg = ModelConfig(backbone_variant='n', image_size=(160, 160))
+    import dataclasses
+    calib_model = YOLOCLIP(dataclasses.replace(cfg, quant='calib_pct'))
+    model = YOLOCLIP(cfg)
+    npr = np.random.RandomState(2)
+    images = jnp.asarray(npr.rand(2, 160, 160, 3), jnp.float32)
+    text = jnp.asarray(npr.randn(4, 512), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), images, text)
+
+    amax = calibrate_amax(calib_model, variables, [(images, text)])
+    # every calibrated block carries both stats, with p999 <= amax
+    leaves_checked = 0
+
+    def walk(node):
+        nonlocal leaves_checked
+        if isinstance(node, dict):
+            if 'in_amax' in node:
+                assert 'in_p999' in node
+                assert float(node['in_p999']) <= float(node['in_amax']) + 1e-6
+                leaves_checked += 1
+            for v in node.values():
+                walk(v)
+    walk(amax)
+    assert leaves_checked > 20
+
+    qv_max = quantize_variables(variables, amax, calibration='max')
+    qv_pct = quantize_variables(variables, amax, calibration='percentile')
+    qmodel = YOLOCLIP(dataclasses.replace(cfg, quant='int8'))
+    out_f = model.apply(variables, images, text)
+    out_p = qmodel.apply(qv_pct, images, text)
+    ds = np.abs(np.asarray(out_f['scores']) - np.asarray(out_p['scores']))
+    assert np.median(ds) < 0.01
+    # the two schemes really differ somewhere (p999 < amax on some block)
+    a = jax.tree_util.tree_leaves(qv_max)
+    b = jax.tree_util.tree_leaves(qv_pct)
+    assert any(x.shape == y.shape and not np.allclose(x, y)
+               for x, y in zip(a, b))
+
+    with pytest.raises(ValueError):
+        quantize_variables(variables, amax, calibration='entropy')
+
+    # plain 'calib' stats lack in_p999: percentile must refuse loudly
+    plain = calibrate_amax(
+        YOLOCLIP(dataclasses.replace(cfg, quant='calib')), variables,
+        [(images, text)])
+    with pytest.raises(KeyError):
+        quantize_variables(variables, plain, calibration='percentile')
+
+
+def test_int8_edge_storage_matches_float(monkeypatch):
+    """int8-STORED inter-block edges (layers.QT): with the element
+    threshold lowered so the storable backbone edges actually fire at
+    test resolution, the deploy graph must still track float closely and
+    the variables must carry out_scale exactly where the graph asks."""
+    from yoloclip_tpu.models import layers
+
+    monkeypatch.setattr(layers, 'STORE_INT8_MIN_ELEMS', 10_000)
+
+    cfg = ModelConfig(backbone_variant='n', image_size=(160, 160))
+    model = YOLOCLIP(cfg)
+    npr = np.random.RandomState(3)
+    images = jnp.asarray(npr.rand(2, 160, 160, 3), jnp.float32)
+    text = npr.randn(8, 512).astype(np.float32)
+    text = jnp.asarray(text / np.linalg.norm(text, axis=-1, keepdims=True))
+    variables = model.init(jax.random.PRNGKey(0), images, text)
+
+    out_f = model.apply(variables, images, text)
+    qmodel, qvars = quantize_model(cfg, variables, [(images, text)])
+
+    # the storable early-backbone edges materialized out_scale params
+    flat = jax.tree_util.tree_flatten_with_path(qvars)[0]
+    names = ['/'.join(str(k) for k in path) for path, _ in flat]
+    assert any('stem' in n and 'out_scale' in n for n in names)
+    assert any('stage1_conv' in n and 'out_scale' in n for n in names)
+    # non-storable blocks (store_out=False call sites) never store
+    assert not any('cv2' in n and 'out_scale' in n for n in names)
+
+    out_q = qmodel.apply(qvars, images, text)
+    ds = np.abs(np.asarray(out_f['scores']) - np.asarray(out_q['scores']))
+    assert np.median(ds) < 0.02
+    agree = (np.asarray(out_f['class_ids']) ==
+             np.asarray(out_q['class_ids'])).mean()
+    assert agree > 0.85
+
+
 def test_detector_quantize_int8_end_to_end():
     """quantize_int8 swaps the serving model and detect() keeps its contract."""
     from yoloclip_tpu.config import InferenceConfig

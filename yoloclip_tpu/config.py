@@ -57,7 +57,7 @@ class ModelConfig:
     image_size: Tuple[int, int] = (640, 640)
     # TPU knobs (no reference equivalent -- pure rebuild features):
     dtype: str = 'float32'         # compute dtype: 'float32' | 'bfloat16'
-    quant: str = 'none'            # conv path: 'none' | 'calib' | 'int8'
+    quant: str = 'none'   # conv path: 'none'|'calib'|'calib_pct'|'int8'
                                    # (W8A8 deploy mode, ops/quantize.py)
 
     def backbone_channels(self) -> List[int]:

@@ -8,13 +8,42 @@ statistics (eps=1e-5, running-stat momentum equivalent to torch's 0.1).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
+
+
+class QT(NamedTuple):
+    """An int8-stored activation edge: HBM tensor `q` (int8) + its
+    symmetric dequant scale. Produced by ConvBlock(store_out=True) in the
+    int8 deploy graph so large inter-block activations cross HBM at half
+    the bf16 byte cost; consumers dequantize on read (XLA fuses the
+    elementwise dequant into the consumer, so the HBM read stays int8).
+    Measured on v5e (benchmarks/probe_int8_edges.py): 1.32x on the big
+    early edges (c32@160, 52 MB at bs=32); a LOSS on small/deep edges
+    (0.88x at c64@80) -- hence the element threshold below."""
+    q: jax.Array
+    scale: jax.Array
+
+
+# Per-SAMPLE output elements (H*W*C) above which an int8-stored edge wins
+# on v5e. c32@160 (819k) won 1.32x; c64@80 (410k) lost 0.88x.
+STORE_INT8_MIN_ELEMS = 600_000
+
+
+def store_int8_eligible(h: int, w: int, c: int) -> bool:
+    return h * w * c >= STORE_INT8_MIN_ELEMS
+
+
+def as_float(x: Union[jax.Array, 'QT'], dtype: Dtype) -> jax.Array:
+    """Dequantize a QT edge (or pass a float array through)."""
+    if isinstance(x, QT):
+        return x.q.astype(dtype) * jnp.asarray(x.scale, dtype)
+    return x
 
 # W8A8 eligibility thresholds (see quant_eligible). Measured on v5e,
 # bs=32 chained-conv probe, 2026-08: int8 wins 1.4-1.5x on wide 3x3 convs
@@ -48,10 +77,12 @@ class ConvBlock(nn.Module):
     Ref: `/root/reference/yolo_clip_detector/model/backbones/yolov8.py:9-29`
     (same block re-declared in repvl_pan.py / heads). padding = k // 2.
 
-    quant ('none' | 'calib' | 'int8') selects the W8A8 deploy path
-    (`yoloclip_tpu/ops/quantize.py`):
+    quant ('none' | 'calib' | 'calib_pct' | 'int8') selects the W8A8
+    deploy path (`yoloclip_tpu/ops/quantize.py`):
       * 'calib': float path, but sow the input absmax into the
-        'intermediates' collection (reduce=max over calls) for scale fitting.
+        'intermediates' collection (reduce=max over calls) for scale
+        fitting; 'calib_pct' additionally sows the 99.9th |x| percentile
+        for the outlier-clipping calibration scheme.
       * 'int8': SELECTIVE -- blocks passing `quant_eligible` (wide 3x3
         convs, where the MXU's doubled int8 rate wins ~1.5x) get params
         {wq int8 (BN pre-folded, per-out-channel scales), wscale, qbias,
@@ -66,23 +97,43 @@ class ConvBlock(nn.Module):
     stride: int = 1
     dtype: Dtype = jnp.float32
     quant: str = 'none'
+    # int8 deploy graph only: emit the post-SiLU output as an int8-stored
+    # QT edge (when large enough per store_int8_eligible). Opt-IN per call
+    # site: only blocks whose consumers are ConvBlocks (which dequantize
+    # on read) or QT-aware set this -- see models/backbone.py.
+    store_out: bool = False
+
+    def _store(self, y: jax.Array) -> Union[jax.Array, QT]:
+        """int8 deploy egress: quantize+store when eligible (see QT)."""
+        if not (self.store_out
+                and store_int8_eligible(y.shape[1], y.shape[2],
+                                        y.shape[3])):
+            return y.astype(self.dtype)
+        out_scale = self.param('out_scale', nn.initializers.ones,
+                               (), jnp.float32)
+        q = jnp.clip(jnp.round(y.astype(jnp.float32) / out_scale),
+                     -127, 127).astype(jnp.int8)
+        return QT(q, out_scale)
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: Union[jax.Array, QT],
+                 train: bool = False) -> Union[jax.Array, QT]:
         p = self.kernel_size // 2
         if self.quant == 'int8':
-            k, cin = self.kernel_size, x.shape[-1]
+            cin = (x.q if isinstance(x, QT) else x).shape[-1]
+            k = self.kernel_size
             if not quant_eligible(k, cin, self.features):
                 wf = self.param('wf', nn.initializers.zeros,
                                 (k, k, cin, self.features), jnp.float32)
                 fbias = self.param('fbias', nn.initializers.zeros,
                                    (self.features,), jnp.float32)
                 y = jax.lax.conv_general_dilated(
-                    x.astype(self.dtype), wf.astype(self.dtype),
+                    as_float(x, self.dtype).astype(self.dtype),
+                    wf.astype(self.dtype),
                     (self.stride, self.stride), ((p, p), (p, p)),
                     dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
                     preferred_element_type=jnp.float32)
-                return nn.silu(y + fbias).astype(self.dtype)
+                return self._store(nn.silu(y + fbias))
             wq = self.param('wq', nn.initializers.zeros,
                             (k, k, cin, self.features), jnp.int8)
             wscale = self.param('wscale', nn.initializers.ones,
@@ -91,20 +142,37 @@ class ConvBlock(nn.Module):
                                (self.features,), jnp.float32)
             act_scale = self.param('act_scale', nn.initializers.ones,
                                    (), jnp.float32)
-            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / act_scale),
-                          -127, 127).astype(jnp.int8)
+            if isinstance(x, QT):
+                # already int8 in HBM: consume directly (exact -- the
+                # dequant scale just rides the epilogue) and skip the
+                # quantize pass entirely
+                xq, in_scale = x.q, x.scale
+            else:
+                in_scale = act_scale
+                xq = jnp.clip(jnp.round(x.astype(jnp.float32) / act_scale),
+                              -127, 127).astype(jnp.int8)
             acc = jax.lax.conv_general_dilated(
                 xq, wq, (self.stride, self.stride), ((p, p), (p, p)),
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
                 preferred_element_type=jnp.int32)
-            y = acc.astype(jnp.float32) * (wscale * act_scale) + qbias
-            return nn.silu(y).astype(self.dtype)
+            y = acc.astype(jnp.float32) * (wscale * in_scale) + qbias
+            return self._store(nn.silu(y))
 
-        if self.quant == 'calib':
-            self.sow('intermediates', 'in_amax',
-                     jnp.max(jnp.abs(x)).astype(jnp.float32),
+        if self.quant in ('calib', 'calib_pct'):
+            ax = jnp.abs(x.astype(jnp.float32))
+            self.sow('intermediates', 'in_amax', jnp.max(ax),
                      reduce_fn=jnp.maximum,
                      init_fn=lambda: jnp.zeros((), jnp.float32))
+            if self.quant == 'calib_pct':
+                # 99.9th percentile of |x| (per batch, max-reduced across
+                # batches): the outlier-clipping calibration
+                # (`ops/quantize.py` calibration='percentile'). A full
+                # sort per block, so it lives behind its own calib mode
+                # rather than slowing the default max-abs path.
+                self.sow('intermediates', 'in_p999',
+                         jnp.quantile(ax, 0.999).astype(jnp.float32),
+                         reduce_fn=jnp.maximum,
+                         init_fn=lambda: jnp.zeros((), jnp.float32))
         x = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
@@ -123,7 +191,22 @@ class ConvBlock(nn.Module):
             param_dtype=jnp.float32,
             name='bn',
         )(x)
-        return nn.silu(x)
+        y = nn.silu(x)
+        if (self.quant in ('calib', 'calib_pct') and self.store_out
+                and store_int8_eligible(y.shape[1], y.shape[2],
+                                        y.shape[3])):
+            # record the post-SiLU range so quantize_variables can fit
+            # this block's out_scale (int8-stored edge); 'out_store'
+            # flags the decision so the transform mirrors the traced
+            # int8 graph exactly
+            self.sow('intermediates', 'out_amax',
+                     jnp.max(jnp.abs(y.astype(jnp.float32))),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.zeros((), jnp.float32))
+            self.sow('intermediates', 'out_store', jnp.float32(1.0),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.zeros((), jnp.float32))
+        return y
 
 
 class DarkBottleneck(nn.Module):
@@ -139,13 +222,18 @@ class DarkBottleneck(nn.Module):
     quant: str = 'none'
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: Union[jax.Array, QT],
+                 train: bool = False) -> jax.Array:
+        cin = (x.q if isinstance(x, QT) else x).shape[-1]
+        # cv1 -> cv2 is a ConvBlock -> ConvBlock edge: storable; cv2's
+        # output feeds the residual add / concat, so never stored
         y = ConvBlock(self.features // 2, 1, dtype=self.dtype,
-                      quant=self.quant, name='cv1')(x, train)
+                      quant=self.quant, store_out=True,
+                      name='cv1')(x, train)
         y = ConvBlock(self.features, 3, dtype=self.dtype,
                       quant=self.quant, name='cv2')(y, train)
-        if self.shortcut and x.shape[-1] == self.features:
-            return x + y
+        if self.shortcut and cin == self.features:
+            return as_float(x, self.dtype) + y
         return y
 
 
@@ -159,20 +247,27 @@ class CSPLayer(nn.Module):
     n_bottlenecks: int = 1
     dtype: Dtype = jnp.float32
     quant: str = 'none'
+    # whether cv3's output (this layer's output) may be int8-stored --
+    # True ONLY when the caller guarantees every consumer handles QT
+    # (e.g. the next backbone downsample ConvBlock)
+    store_out: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: Union[jax.Array, QT],
+                 train: bool = False) -> Union[jax.Array, QT]:
         c_ = self.features // 2
+        # cv1 feeds a DarkBottleneck (QT-aware) -> storable; cv2 feeds
+        # the concat -> float
         y1 = ConvBlock(c_, 1, dtype=self.dtype, quant=self.quant,
-                       name='cv1')(x, train)
+                       store_out=True, name='cv1')(x, train)
         for i in range(self.n_bottlenecks):
             y1 = DarkBottleneck(c_, True, dtype=self.dtype, quant=self.quant,
                                 name=f'bottlenecks_{i}')(y1, train)
         y2 = ConvBlock(c_, 1, dtype=self.dtype, quant=self.quant,
                        name='cv2')(x, train)
-        y = jnp.concatenate([y1, y2], axis=-1)
+        y = jnp.concatenate([as_float(y1, self.dtype), y2], axis=-1)
         return ConvBlock(self.features, 1, dtype=self.dtype, quant=self.quant,
-                         name='cv3')(y, train)
+                         store_out=self.store_out, name='cv3')(y, train)
 
 
 def max_pool_same(x: jax.Array, k: int) -> jax.Array:

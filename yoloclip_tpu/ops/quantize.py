@@ -92,8 +92,29 @@ def calibrate_amax(model, variables, batches: Iterable[Tuple[Any, Any]],
     return amax
 
 
+def _pick_act_amax(a_node: Optional[Dict], calibration: str):
+    """Select the activation range statistic per the calibration scheme:
+    'max' -> plain max-abs ('in_amax'); 'percentile' -> 99.9th |x|
+    percentile ('in_p999', max-reduced across calibration batches) --
+    clips outliers so the bulk of values get finer quantization steps."""
+    if a_node is None:
+        return None
+    if calibration == 'percentile':
+        v = a_node.get('in_p999')
+        if v is None and 'in_amax' in a_node:
+            raise KeyError("calibration='percentile' needs 'in_p999' "
+                           "stats: calibrate with quant='calib_pct' "
+                           "(quantize_model does this automatically)")
+        return v
+    if calibration != 'max':
+        raise ValueError(f"calibration must be 'max' or 'percentile', "
+                         f"got {calibration!r}")
+    return a_node.get('in_amax')
+
+
 def _quantize_convblock(params_node: Dict, stats_node: Dict,
-                        amax: Optional[np.ndarray]) -> Dict:
+                        amax: Optional[np.ndarray],
+                        a_node: Optional[Dict] = None) -> Dict:
     kernel = np.asarray(params_node['conv']['kernel'], np.float32)
     gamma = np.asarray(params_node['bn']['scale'], np.float32)
     beta = np.asarray(params_node['bn']['bias'], np.float32)
@@ -104,10 +125,21 @@ def _quantize_convblock(params_node: Dict, stats_node: Dict,
     w = kernel * s                      # (k, k, I, O) * (O,)
     b = beta - mean * s
 
+    def _out_scale() -> Dict:
+        # int8-stored output edge: the calib ConvBlock sowed out_amax +
+        # out_store iff its store_out flag AND the element threshold
+        # fired -- mirroring exactly when the int8 graph will request the
+        # 'out_scale' param (layers.ConvBlock._store)
+        if a_node and float(a_node.get('out_store', 0.0)) > 0:
+            oa = float(a_node['out_amax'])
+            return {'out_scale': np.float32(max(oa / 127.0, _MIN_SCALE))}
+        return {}
+
     k, _, cin, cout = kernel.shape
     if not quant_eligible(k, cin, cout):
         # BN-folded float conv -- mirrors ConvBlock's ineligible branch
-        return {'wf': w.astype(np.float32), 'fbias': b.astype(np.float32)}
+        return {'wf': w.astype(np.float32), 'fbias': b.astype(np.float32),
+                **_out_scale()}
 
     if amax is None:
         raise KeyError('missing calibration amax for eligible ConvBlock '
@@ -116,10 +148,12 @@ def _quantize_convblock(params_node: Dict, stats_node: Dict,
     wq = np.clip(np.round(w / wscale), -127, 127).astype(np.int8)
     act_scale = np.float32(max(float(amax) / 127.0, _MIN_SCALE))
     return {'wq': wq, 'wscale': wscale.astype(np.float32),
-            'qbias': b.astype(np.float32), 'act_scale': act_scale}
+            'qbias': b.astype(np.float32), 'act_scale': act_scale,
+            **_out_scale()}
 
 
-def quantize_variables(variables, amax_tree: Dict) -> Dict:
+def quantize_variables(variables, amax_tree: Dict,
+                       calibration: str = 'max') -> Dict:
     """Trained float variables -> int8 deploy variables.
 
     Walks the params tree; every ConvBlock scope ({'conv','bn'}) is replaced
@@ -135,9 +169,9 @@ def quantize_variables(variables, amax_tree: Dict) -> Dict:
         if _is_convblock(p_node):
             if s_node is None or 'bn' not in s_node:
                 raise KeyError(f'missing batch_stats for ConvBlock {path}')
-            amax = (a_node or {}).get('in_amax')
+            amax = _pick_act_amax(a_node, calibration)
             try:
-                return _quantize_convblock(p_node, s_node, amax)
+                return _quantize_convblock(p_node, s_node, amax, a_node)
             except KeyError as e:
                 raise KeyError(f'{e.args[0]}: ConvBlock {path}') from None
         if not isinstance(p_node, dict):
@@ -156,19 +190,22 @@ def quantize_variables(variables, amax_tree: Dict) -> Dict:
 
 
 def quantize_model(cfg, variables, calib_batches: Iterable[Tuple[Any, Any]],
-                   **apply_kwargs):
+                   calibration: str = 'max', **apply_kwargs):
     """(float cfg, float variables) -> (int8 model, int8 variables).
 
     Convenience wrapper: calibrates on `calib_batches` with the deploy
     graph settings in apply_kwargs, then transforms the variables.
+    calibration: 'max' (plain max-abs) or 'percentile' (99.9th |x|,
+    outlier-clipping) -- see `_pick_act_amax`.
     """
     from yoloclip_tpu.models.yolo_clip import YOLOCLIP
 
-    calib_cfg = _replace_cfg(cfg, quant='calib')
+    calib_quant = 'calib_pct' if calibration == 'percentile' else 'calib'
+    calib_cfg = _replace_cfg(cfg, quant=calib_quant)
     amax = calibrate_amax(YOLOCLIP(calib_cfg), variables, calib_batches,
                           **apply_kwargs)
     qcfg = _replace_cfg(cfg, quant='int8')
-    return YOLOCLIP(qcfg), quantize_variables(variables, amax)
+    return YOLOCLIP(qcfg), quantize_variables(variables, amax, calibration)
 
 
 def _replace_cfg(cfg, **kw):
