@@ -35,19 +35,31 @@ class YOLOv8Backbone(nn.Module):
         dp = [max(int(d * dm), 1) for d in [1, 2, 4, 8]]
         dt, q = self.dtype, self.quant
 
-        x = ConvBlock(ch[0], 3, 2, dtype=dt, quant=q, name='stem')(x, train)
+        # store_out=True marks edges whose EVERY consumer is QT-aware
+        # (the next ConvBlock / CSP ingress): in the int8 deploy graph
+        # these large early activations cross HBM as int8 (layers.QT),
+        # halving the byte traffic on the biggest edges (probe: 1.32x on
+        # c32@160). c3/c4 feed the neck (not QT-aware) -> not stored.
+        x = ConvBlock(ch[0], 3, 2, dtype=dt, quant=q, store_out=True,
+                      name='stem')(x, train)
 
-        x = ConvBlock(ch[1], 3, 2, dtype=dt, quant=q, name='stage1_conv')(x, train)
-        x = CSPLayer(ch[1], dp[0], dtype=dt, quant=q, name='stage1_csp')(x, train)
+        x = ConvBlock(ch[1], 3, 2, dtype=dt, quant=q, store_out=True,
+                      name='stage1_conv')(x, train)
+        x = CSPLayer(ch[1], dp[0], dtype=dt, quant=q, store_out=True,
+                     name='stage1_csp')(x, train)
 
-        x = ConvBlock(ch[2], 3, 2, dtype=dt, quant=q, name='stage2_conv')(x, train)
+        x = ConvBlock(ch[2], 3, 2, dtype=dt, quant=q, store_out=True,
+                      name='stage2_conv')(x, train)
         c3 = CSPLayer(ch[2], dp[1], dtype=dt, quant=q, name='stage2_csp')(x, train)
 
-        x = ConvBlock(ch[3], 3, 2, dtype=dt, quant=q, name='stage3_conv')(c3, train)
+        x = ConvBlock(ch[3], 3, 2, dtype=dt, quant=q, store_out=True,
+                      name='stage3_conv')(c3, train)
         c4 = CSPLayer(ch[3], dp[2], dtype=dt, quant=q, name='stage3_csp')(x, train)
 
-        x = ConvBlock(ch[4], 3, 2, dtype=dt, quant=q, name='stage4_conv')(c4, train)
-        x = CSPLayer(ch[4], dp[3], dtype=dt, quant=q, name='stage4_csp')(x, train)
+        x = ConvBlock(ch[4], 3, 2, dtype=dt, quant=q, store_out=True,
+                      name='stage4_conv')(c4, train)
+        x = CSPLayer(ch[4], dp[3], dtype=dt, quant=q, store_out=True,
+                     name='stage4_csp')(x, train)
         c5 = SPPF(ch[4], ch[4], 5, dtype=dt, quant=q, name='stage4_sppf')(x, train)
 
         return c3, c4, c5
