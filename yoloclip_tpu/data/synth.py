@@ -36,6 +36,16 @@ _PALETTE = np.array([
 _SHAPES = ('square', 'circle', 'triangle', 'square', 'circle', 'triangle')
 
 
+def _wheel_color(cls: int, num_classes: int) -> np.ndarray:
+    """Distinct class color for >6-class sets: evenly spaced hues with
+    alternating brightness. (<=6 classes keep the original _PALETTE so
+    existing seeded datasets stay bit-identical.)"""
+    import colorsys
+    h = (cls / num_classes) % 1.0
+    v = 0.85 if cls % 2 == 0 else 0.55
+    return np.array(colorsys.hsv_to_rgb(h, 0.9, v), np.float32)
+
+
 def _draw(img: np.ndarray, cls: int, x0: int, y0: int, w: int, h: int,
           rs: np.random.RandomState) -> None:
     color = np.clip(_PALETTE[cls] + rs.uniform(-0.08, 0.08, 3), 0, 1)
@@ -101,7 +111,12 @@ def make_synth_detection_set(n_images: int,
             else:
                 continue
             cls = rs.randint(0, num_classes)
-            _draw(img, cls, x0, y0, w, h, rs)   # later objects occlude earlier
+            if num_classes <= 6:    # original palette: keeps existing
+                # seeded datasets bit-identical (cached trained states)
+                _draw(img, cls, x0, y0, w, h, rs)
+            else:
+                _draw_colored(img, _wheel_color(cls, num_classes),
+                              _SHAPES[cls % 3], x0, y0, w, h, rs)
             placed.append((box, cls))
         images[i] = img
         for j, (box, cls) in enumerate(placed[:M]):

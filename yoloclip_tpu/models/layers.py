@@ -32,11 +32,18 @@ class QT(NamedTuple):
 
 # Per-SAMPLE output elements (H*W*C) above which an int8-stored edge wins
 # on v5e. c32@160 (819k) won 1.32x; c64@80 (410k) lost 0.88x.
-STORE_INT8_MIN_ELEMS = 600_000
+# Overridable via env (A/B tuning knob; a huge value disables storage).
+import os as _os
+
+STORE_INT8_MIN_ELEMS = int(_os.environ.get('YOLOCLIP_STORE_INT8_MIN_ELEMS',
+                                           600_000))
 
 
 def store_int8_eligible(h: int, w: int, c: int) -> bool:
-    return h * w * c >= STORE_INT8_MIN_ELEMS
+    # c >= 32: int8 tensors tile as (32, 128) sublane x lane on TPU
+    # (bf16 tiles (16, 128)), so an int8 edge with c < 32 pads to the
+    # same physical bytes as bf16 and only adds quantize overhead.
+    return c >= 32 and h * w * c >= STORE_INT8_MIN_ELEMS
 
 
 def as_float(x: Union[jax.Array, 'QT'], dtype: Dtype) -> jax.Array:
