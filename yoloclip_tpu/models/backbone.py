@@ -36,14 +36,20 @@ class YOLOv8Backbone(nn.Module):
         dt, q = self.dtype, self.quant
 
         # store_out=True marks edges whose EVERY consumer is QT-aware
-        # (the next ConvBlock / CSP ingress): in the int8 deploy graph
-        # these large early activations cross HBM as int8 (layers.QT),
-        # halving the byte traffic on the biggest edges (probe: 1.32x on
-        # c32@160). c3/c4 feed the neck (not QT-aware) -> not stored.
+        # (the next ConvBlock / CSP ingress): candidates for int8-stored
+        # HBM edges in the int8 deploy graph. INERT at the default
+        # element threshold -- whole-graph benching measured int8 edges
+        # net-negative on v5e (see layers.STORE_INT8_MIN_ELEMS); the
+        # markers remain for env-gated experimentation. c3/c4 feed the
+        # neck (not QT-aware) -> never storable.
         x = ConvBlock(ch[0], 3, 2, dtype=dt, quant=q, store_out=True,
                       name='stem')(x, train)
 
-        x = ConvBlock(ch[1], 3, 2, dtype=dt, quant=q, store_out=True,
+        # stage1_conv's output is read TWICE (CSP cv1 + cv2): storing it
+        # int8 measured SLOWER e2e -- with two consumers XLA materializes
+        # the dequantized tensor as its own pass instead of fusing the
+        # dequant into each reader, adding a full extra HBM round trip
+        x = ConvBlock(ch[1], 3, 2, dtype=dt, quant=q,
                       name='stage1_conv')(x, train)
         x = CSPLayer(ch[1], dp[0], dtype=dt, quant=q, store_out=True,
                      name='stage1_csp')(x, train)

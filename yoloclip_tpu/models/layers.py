@@ -30,13 +30,20 @@ class QT(NamedTuple):
     scale: jax.Array
 
 
-# Per-SAMPLE output elements (H*W*C) above which an int8-stored edge wins
-# on v5e. c32@160 (819k) won 1.32x; c64@80 (410k) lost 0.88x.
-# Overridable via env (A/B tuning knob; a huge value disables storage).
+# Per-SAMPLE output elements (H*W*C) above which an int8-stored edge is
+# allowed. DISABLED by default: although the isolated-chain probe
+# (benchmarks/probe_int8_edges.py) measured 1.32x on c32@160 edges, the
+# FULL deploy graph measured a consistent ~17% e2e LOSS on v5e with any
+# edge stored (1319/1304 vs 1581 img/s at bs=32/640px int8 'n' -- with
+# every storable edge, and with only the single-consumer
+# stage1_csp.cv3->stage2_conv edge, respectively). The isolated win does
+# not survive whole-graph compilation (int8 NHWC relayout copies / lost
+# producer fusion around the CSP concat are the suspects). The machinery
+# stays for experimentation via YOLOCLIP_STORE_INT8_MIN_ELEMS.
 import os as _os
 
 STORE_INT8_MIN_ELEMS = int(_os.environ.get('YOLOCLIP_STORE_INT8_MIN_ELEMS',
-                                           600_000))
+                                           1 << 62))
 
 
 def store_int8_eligible(h: int, w: int, c: int) -> bool:
