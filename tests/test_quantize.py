@@ -242,13 +242,17 @@ def test_int8_edge_storage_matches_float(monkeypatch):
     out_f = model.apply(variables, images, text)
     qmodel, qvars = quantize_model(cfg, variables, [(images, text)])
 
-    # the storable early-backbone edges materialized out_scale params
+    # the storable marked edges materialized out_scale params: the
+    # stage1 CSP output (cv3, single consumer = stage2_conv) stores
     flat = jax.tree_util.tree_flatten_with_path(qvars)[0]
     names = ['/'.join(str(k) for k in path) for path, _ in flat]
     # stem output has c=16 < the int8-tiling channel floor: never stored
     assert not any('stem' in n and 'out_scale' in n for n in names)
-    assert any('stage1_conv' in n and 'out_scale' in n for n in names)
-    # non-storable blocks (store_out=False call sites) never store
+    assert any('stage1_csp' in n and 'cv3' in n and 'out_scale' in n
+               for n in names)
+    # unmarked blocks (store_out=False call sites) never store:
+    # stage1_conv's output is read twice (CSP cv1+cv2) -> unmarked
+    assert not any('stage1_conv' in n and 'out_scale' in n for n in names)
     assert not any('cv2' in n and 'out_scale' in n for n in names)
 
     out_q = qmodel.apply(qvars, images, text)
