@@ -311,11 +311,14 @@ def bench_detect_default_path():
          host_ms + device_ms, 'ms (sum of measured components)', None)
 
 
-def bench_variant_s(batch=32):
-    """Config 9: variant 's' throughput -- shows the framework is not
-    tuned to one shape (the reference can't even run 's', SURVEY bug #7)."""
+def bench_variant_s(batch=32, variant='s'):
+    """Config 9/18: non-'n' variant throughput -- shows the framework is
+    not tuned to one shape (the reference can't even run any non-'n'
+    variant end-to-end, SURVEY bug #7). Config 18 runs 'm', whose
+    numerical parity vs the (I-Pool-patched) reference composite is
+    pinned by tests/test_parity_reference.py."""
     from yoloclip_tpu.ops.nms import batched_nms
-    model, variables, text = _model(variant='s')
+    model, variables, text = _model(variant=variant)
     images = jax.random.uniform(jax.random.PRNGKey(1),
                                 (batch, 640, 640, 3), jnp.float32)
     fused = jax.default_backend() == 'tpu'
@@ -327,7 +330,7 @@ def bench_variant_s(batch=32):
                            0.25, 0.45, topk=1024, max_detections=300)
 
     dt = _throughput_time(pipeline, variables, images, text)
-    emit(f'variant_s_bs{batch}_throughput', batch / dt,
+    emit(f'variant_{variant}_bs{batch}_throughput', batch / dt,
          'images/sec/chip', 400)
 
 
@@ -452,7 +455,8 @@ def bench_int8_latency():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--configs', default='1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17')
+    ap.add_argument('--configs',
+                    default='1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19')
     args = ap.parse_args()
     wanted = set(args.configs.split(','))
     if '1' in wanted:
@@ -496,6 +500,10 @@ def main():
         # inefficiency (bs=8 runs the chip at ~2/3 of its bs=32 rate)
         bench_int8_streaming(n_streams=16)
         bench_int8_streaming(n_streams=32)
+    if '18' in wanted:
+        bench_variant_s(variant='m')
+    if '19' in wanted:
+        bench_int8(variant='m')
 
 
 if __name__ == '__main__':

@@ -33,6 +33,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _pair(s):
+    """Parse 'LO,HI' into an int 2-tuple."""
+    lo, hi = (int(x) for x in s.split(','))
+    assert lo <= hi, f'bad range {s!r}'
+    return lo, hi
+
+
+def _max_objects(args):
+    # padding M: cover the densest drawable scene (default stays 8)
+    return max(8, args.objects[1])
+
+
+def _scene_kwargs(args):
+    return dict(objects=args.objects, min_side=args.obj_size[0],
+                max_side=args.obj_size[1], max_objects=_max_objects(args))
+
+
 def build_train(args):
     import jax
     import jax.numpy as jnp
@@ -48,12 +65,13 @@ def build_train(args):
 
     S = args.image_size
     mcfg = ModelConfig(backbone_variant=args.variant, image_size=(S, S))
-    cfg = TrainingConfig(model=mcfg, max_objects=8,
+    cfg = TrainingConfig(model=mcfg, max_objects=_max_objects(args),
                          batch_size=args.batch_size,
                          assigner='topk_center', contrastive_type='bce')
     model = YOLOCLIP(mcfg)
     train = make_synth_detection_set(args.train_images, seed=0, image_size=S,
-                                     num_classes=args.num_classes)
+                                     num_classes=args.num_classes,
+                                     **_scene_kwargs(args))
     text = synth_text_embeddings(args.num_classes)
     C = text.shape[0]
 
@@ -272,6 +290,13 @@ def main():
                     help='synthetic class count (palette repeats past 6 '
                          'with distinct jitter seeds -- keep <= 6 for the '
                          'reference cross-check, larger for scale runs)')
+    ap.add_argument('--objects', type=_pair, default=(2, 5), metavar='LO,HI',
+                    help='drawn objects per image (default 2,5 matches the '
+                         'original set; raise for denser scenes)')
+    ap.add_argument('--obj-size', type=_pair, default=(24, 64),
+                    metavar='LO,HI',
+                    help='object side length range in px (default 24,64; '
+                         'scale up for 640px runs)')
     ap.add_argument('--wide-vocab', type=int, default=0, metavar='N',
                     help='ALSO evaluate with an N-row vocabulary: the real '
                          'classes plus N-C distractor embeddings (half '
@@ -318,8 +343,11 @@ def main():
             # (ADVICE r2: a stale cache under a different --variant /
             # --image-size fails with a cryptic tree mismatch or worse)
             got = (blob['variant'], blob['image_size'],
-                   blob.get('num_classes', 6))
-            want = (args.variant, args.image_size, args.num_classes)
+                   blob.get('num_classes', 6),
+                   tuple(blob.get('objects', (2, 5))),
+                   tuple(blob.get('obj_size', (24, 64))))
+            want = (args.variant, args.image_size, args.num_classes,
+                    args.objects, args.obj_size)
             if got != want:
                 sys.exit(f'--cache-state {args.cache_state} was trained '
                          f'with (variant, image_size, num_classes)={got} '
@@ -352,12 +380,15 @@ def main():
                                                  state.batch_stats),
                      'variant': args.variant,
                      'image_size': args.image_size,
-                     'num_classes': args.num_classes}, f)
+                     'num_classes': args.num_classes,
+                     'objects': args.objects,
+                     'obj_size': args.obj_size}, f)
             print(f'trained state cached: {args.cache_state}', flush=True)
 
     val = make_synth_detection_set(args.val_images, seed=1000,
                                    image_size=args.image_size,
-                                   num_classes=args.num_classes)
+                                   num_classes=args.num_classes,
+                                   **_scene_kwargs(args))
     targets = [{'boxes': val['boxes'][i][None],
                 'class_ids': val['class_ids'][i][None],
                 'valid_mask': val['valid_mask'][i][None]}
@@ -371,7 +402,8 @@ def main():
     if args.int8:
         train_set = make_synth_detection_set(args.train_images, seed=0,
                                              image_size=args.image_size,
-                                             num_classes=args.num_classes)
+                                             num_classes=args.num_classes,
+                                             **_scene_kwargs(args))
         qp = eval_int8(mcfg, state, train_set, val, text, args.conf,
                        args.iou, calibration=args.calibration)
         qmap50, qmap50_95 = calculate_map(qp, targets)

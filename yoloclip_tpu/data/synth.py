@@ -72,10 +72,14 @@ def make_synth_detection_set(n_images: int,
                              max_objects: int = 8,
                              num_classes: int = 6,
                              min_side: int = 24,
-                             max_side: int = 64) -> Dict[str, np.ndarray]:
+                             max_side: int = 64,
+                             objects: Tuple[int, int] = (2, 5),
+                             ) -> Dict[str, np.ndarray]:
     """Returns {'images' (N,S,S,3) float [0,1], 'boxes' (N,M,4) xyxy px,
     'class_ids' (N,M) int32, 'valid_mask' (N,M) bool}. Deterministic in
-    (n_images, seed, geometry args)."""
+    (n_images, seed, geometry args). `objects=(lo, hi)` bounds the drawn
+    object count per image (default (2, 5) keeps all previously seeded
+    sets bit-identical); occlusion retries can drop below lo."""
     rs = np.random.RandomState(seed)
     S, M = image_size, max_objects
     images = np.empty((n_images, S, S, 3), np.float32)
@@ -86,7 +90,7 @@ def make_synth_detection_set(n_images: int,
     for i in range(n_images):
         img = np.clip(0.25 + 0.06 * rs.randn(S, S, 3), 0, 1
                       ).astype(np.float32)
-        n_obj = rs.randint(2, 6)
+        n_obj = rs.randint(objects[0], objects[1] + 1)
         placed = []
         for _ in range(n_obj):
             for _attempt in range(20):
