@@ -205,3 +205,21 @@ def test_open_vocab_detection_set_schema():
     own = fam['colors'][ids[ds['class_ids'][i, j]]]
     d_own = np.linalg.norm(region - own, axis=-1).min()
     assert d_own < 0.2
+
+
+def test_synth_density_param_and_default_bit_identity():
+    """`objects=(lo, hi)` controls scene density; the default keeps
+    previously seeded sets bit-identical (cached trained states depend
+    on this)."""
+    from yoloclip_tpu.data.synth import make_synth_detection_set
+    base = make_synth_detection_set(4, seed=3, image_size=96)
+    same = make_synth_detection_set(4, seed=3, image_size=96,
+                                    objects=(2, 5))
+    np.testing.assert_array_equal(base['images'], same['images'])
+    dense = make_synth_detection_set(8, seed=3, image_size=160,
+                                     objects=(6, 12), max_objects=12,
+                                     min_side=16, max_side=40)
+    assert dense['boxes'].shape == (8, 12, 4)
+    # denser scenes really carry more objects on average
+    assert dense['valid_mask'].sum(1).mean() > base['valid_mask'].sum(1).mean()
+    assert dense['valid_mask'].sum(1).max() >= 6
