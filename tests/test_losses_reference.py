@@ -250,15 +250,19 @@ def test_combined_compat_oracle_gradients(ref):
     outputs, batch = _rand_combined(seed=12)
     weights = {'contrastive': 1.0, 'iou': 5.0, 'dfl': 1.0}
 
-    t_obj = torch.from_numpy(outputs['obj_embeddings']).requires_grad_(True)
-    t_box = torch.from_numpy(outputs['boxes']).requires_grad_(True)
-    t_out = {'obj_embeddings': t_obj,
-             'text_embeddings': torch.from_numpy(outputs['text_embeddings']),
-             'boxes': t_box}
-    t_bat = {k: torch.from_numpy(np.asarray(v)) for k, v in batch.items()}
-    want_total, _ = refbridge.reference_combined_objective(
-        t_out, t_bat, weights)
-    want_total.backward()
+    with torch.enable_grad():  # defensive: some oracle modules run no_grad
+        t_obj = torch.from_numpy(
+            outputs['obj_embeddings']).requires_grad_(True)
+        t_box = torch.from_numpy(outputs['boxes']).requires_grad_(True)
+        t_out = {'obj_embeddings': t_obj,
+                 'text_embeddings': torch.from_numpy(
+                     outputs['text_embeddings']),
+                 'boxes': t_box}
+        t_bat = {k: torch.from_numpy(np.asarray(v))
+                 for k, v in batch.items()}
+        want_total, _ = refbridge.reference_combined_objective(
+            t_out, t_bat, weights)
+        want_total.backward()
 
     j_bat = {k: jnp.asarray(v) for k, v in batch.items()}
 

@@ -26,7 +26,17 @@ from yoloclip_tpu.config import ModelConfig
 from yoloclip_tpu.models.yolo_clip import YOLOCLIP
 from yoloclip_tpu.utils.convert import export_reference_state_dict
 
-torch.set_grad_enabled(False)
+
+@pytest.fixture(autouse=True)
+def _torch_inference_only():
+    """Disable autograd around each test WITHOUT leaking global state.
+
+    A module-level ``torch.set_grad_enabled(False)`` runs at pytest
+    collection time and silently breaks grad-dependent tests in OTHER
+    modules (test_losses_reference's autograd oracle).
+    """
+    with torch.no_grad():
+        yield
 
 
 # ---------------------------------------------------------------------------

@@ -32,10 +32,16 @@ from yoloclip_tpu.ops.nms import nms_fixed
 from yoloclip_tpu.ops.preprocess import rescale_boxes
 from yoloclip_tpu.utils import refbridge
 
-torch.set_grad_enabled(False)
-
 pytestmark = pytest.mark.skipif(not refbridge.reference_available(),
                                 reason='reference repo not mounted')
+
+
+@pytest.fixture(autouse=True)
+def _torch_inference_only():
+    # Scoped no_grad; a module-level set_grad_enabled(False) would run at
+    # collection time and break autograd oracles in other test modules.
+    with torch.no_grad():
+        yield
 
 
 @pytest.fixture(scope='module')

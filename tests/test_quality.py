@@ -28,13 +28,19 @@ from yoloclip_tpu.train.train_state import (create_train_state,
 from yoloclip_tpu.utils import refbridge
 from yoloclip_tpu.utils.metrics import calculate_map
 
-torch.set_grad_enabled(False)
-
 pytestmark = [
     pytest.mark.slow,
     pytest.mark.skipif(not refbridge.reference_available(),
                        reason='reference repo not mounted'),
 ]
+
+
+@pytest.fixture(autouse=True)
+def _torch_inference_only():
+    # Scoped no_grad (module-level set_grad_enabled(False) leaks through
+    # pytest collection into other modules' autograd oracles).
+    with torch.no_grad():
+        yield
 
 CONF, IOU = 0.25, 0.45
 
