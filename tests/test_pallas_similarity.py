@@ -41,6 +41,27 @@ def test_fused_masks_invalid_classes():
                                rtol=1e-5)
 
 
+@pytest.mark.parametrize('A,C,E', [(525, 80, 64), (300, 130, 128)])
+def test_fused_normalize_obj_in_kernel(A, C, E):
+    """normalize_obj=True takes RAW obj rows (incl. large scales and a
+    near-zero row) and must equal normalizing outside the kernel."""
+    rng = np.random.RandomState(3)
+    raw = rng.randn(A, E).astype(np.float32)
+    raw *= rng.uniform(0.01, 50.0, size=(A, 1)).astype(np.float32)
+    raw[7] = 0.0                      # degenerate row: guarded norm
+    obj_n = raw / np.maximum(
+        np.linalg.norm(raw, axis=-1, keepdims=True), 1e-12)
+    text = jnp.asarray(normed(rng, (C, E)))
+    want_s, want_i = similarity_argmax_reference(jnp.asarray(obj_n), text)
+    got_s, got_i = fused_similarity_argmax(jnp.asarray(raw), text,
+                                           tile_a=256, tile_c=64,
+                                           interpret=True,
+                                           normalize_obj=True)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_fused_batched_per_image_text():
     """(B, A, E) obj against per-image (B, C, E) text: each batch element
     must be scored against ITS OWN text matrix."""

@@ -101,20 +101,26 @@ class YOLOCLIP(nn.Module):
                             name='box_head')(pan_feats, train)
         boxes = decode_boxes(box_preds, cfg.strides, cfg.reg_max)
 
-        obj_embeddings = jnp.concatenate(obj_embeds, axis=1).astype(jnp.float32)
+        obj_cat = jnp.concatenate(obj_embeds, axis=1)       # compute dtype
+        # fp32 copy only for the output contract; in serve graphs that
+        # drop obj_embeddings (e.g. one-program NMS deploy) XLA dead-code-
+        # eliminates this cast, and the fused kernel below reads the
+        # compute-dtype tensor directly
+        obj_embeddings = obj_cat.astype(jnp.float32)
 
         if use_fused:
             from yoloclip_tpu.ops.pallas.similarity import (
                 fused_similarity_argmax)
-            obj_n = obj_embeddings / jnp.maximum(jnp.linalg.norm(
-                obj_embeddings, axis=-1, keepdims=True), 1e-12)
             # per-image text: I-Pooling makes text embeddings image-
-            # dependent, so the kernel batches over B (never text[0])
+            # dependent, so the kernel batches over B (never text[0]).
+            # obj rows go in RAW (normalize_obj=True folds the row norm
+            # inside the kernel): the fp32 normalize pass over the
+            # (B, A, E) tensor was ~2.7 GB of HBM traffic per bs=32 batch
             txt = text_embeddings.astype(jnp.float32)
             txt_n = txt / jnp.maximum(jnp.linalg.norm(
                 txt, axis=-1, keepdims=True), 1e-12)
             s, class_ids = fused_similarity_argmax(
-                obj_n.astype(dt), txt_n.astype(dt))
+                obj_cat, txt_n.astype(dt), normalize_obj=True)
             scores = cfg.cls_alpha * s + cfg.cls_beta
             similarity = None
         else:

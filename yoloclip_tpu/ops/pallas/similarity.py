@@ -32,10 +32,18 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30  # python float: jnp scalars would be captured consts in pallas
 
 
-def _kernel(nvalid_ref, obj_ref, text_ref, max_ref, arg_ref, acc_max, acc_arg):
+def _kernel(nvalid_ref, obj_ref, text_ref, max_ref, arg_ref, acc_max, acc_arg,
+            *, normalize_obj: bool):
     """Grid: (B, A_tiles, C_tiles). C is the minor (fastest) grid dim, so
     the running max in VMEM scratch accumulates across C tiles for one
-    (batch, A tile) before the outputs are written."""
+    (batch, A tile) before the outputs are written.
+
+    normalize_obj: obj rows arrive UNNORMALIZED; a positive per-row scale
+    cannot change the argmax over classes, so the running max/argmax run on
+    raw dot products and only the final max is divided by the row norm
+    (computed from the VMEM-resident obj tile). This keeps the large
+    (B, A, E) embedding tensor out of a separate fp32 normalize pass in HBM
+    (~2.7 GB per bs=32 batch: cast + reduce + divide + cast-back)."""
     ci = pl.program_id(2)
     nc = pl.num_programs(2)
     tile_c = text_ref.shape[1]
@@ -64,7 +72,12 @@ def _kernel(nvalid_ref, obj_ref, text_ref, max_ref, arg_ref, acc_max, acc_arg):
 
     @pl.when(ci == nc - 1)
     def _write():
-        max_ref[0] = acc_max[:]
+        if normalize_obj:
+            o = obj_ref[0].astype(jnp.float32)
+            norm = jnp.sqrt(jnp.sum(o * o, axis=1, keepdims=True))
+            max_ref[0] = acc_max[:] / jnp.maximum(norm, 1e-12)
+        else:
+            max_ref[0] = acc_max[:]
         arg_ref[0] = acc_arg[:]
 
 
@@ -78,15 +91,23 @@ def _pad_to(x: jax.Array, size: int, axis: int, value=0.0) -> jax.Array:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('tile_a', 'tile_c', 'interpret'))
+                   static_argnames=('tile_a', 'tile_c', 'interpret',
+                                    'normalize_obj'))
 def fused_similarity_argmax(obj: jax.Array, text: jax.Array,
                             num_valid: Optional[jax.Array] = None,
                             tile_a: int = 512, tile_c: int = 256,
-                            interpret: Optional[bool] = None
+                            interpret: Optional[bool] = None,
+                            normalize_obj: bool = False
                             ) -> Tuple[jax.Array, jax.Array]:
-    """obj (A, E) or (B, A, E) L2-normalized, text (C, E) or (B, C, E)
-    L2-normalized -> (scores, class_ids) of shape (A,) / (B, A) without
-    materializing the (..., A, C) similarity tensor.
+    """obj (A, E) or (B, A, E), text (C, E) or (B, C, E) L2-normalized
+    -> (scores, class_ids) of shape (A,) / (B, A) without materializing
+    the (..., A, C) similarity tensor.
+
+    obj must be pre-normalized UNLESS normalize_obj=True, in which case
+    raw region embeddings are accepted and L2-normalized inside the kernel
+    (per-row scale folding at write time -- saves the fp32 normalize
+    round-trip of the big embedding tensor through HBM; argmax is
+    invariant to positive row scaling so results are identical).
 
     Batched text is REQUIRED when text embeddings differ per image (e.g.
     after I-Pooling attention); a shared (C, E) matrix with batched obj is
@@ -114,7 +135,7 @@ def fused_similarity_argmax(obj: jax.Array, text: jax.Array,
 
     grid = (B, Ap // tile_a, Cp // tile_c)
     out_max, out_arg = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, normalize_obj=normalize_obj),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
