@@ -80,6 +80,17 @@ def build_stage_fns(model, fused):
         return _tree_scalar({k: v for k, v in
                              inter['intermediates'].items() if k in names})
 
+    def stage_boxes(variables, images, text):
+        # heads + DFL decode only (scores path dead-code-eliminated)
+        out = model.apply(variables, images, text, fused_scores=fused)
+        return jnp.sum(out['boxes'].astype(jnp.float32))
+
+    def stage_scores(variables, images, text):
+        # heads + similarity/argmax only (box decode dead-code-eliminated)
+        out = model.apply(variables, images, text, fused_scores=fused)
+        return (jnp.sum(out['scores'].astype(jnp.float32))
+                + jnp.sum(out['class_ids'].astype(jnp.float32)))
+
     def stage_full(variables, images, text):
         out = model.apply(variables, images, text, fused_scores=fused)
         return (jnp.sum(out['boxes'].astype(jnp.float32))
@@ -95,6 +106,8 @@ def build_stage_fns(model, fused):
     return {'backbone': jax.jit(stage_backbone),
             'neck': jax.jit(stage_neck),
             'heads': jax.jit(stage_heads),
+            'boxes': jax.jit(stage_boxes),
+            'scores': jax.jit(stage_scores),
             'full': jax.jit(stage_full),
             'nms': jax.jit(stage_nms)}
 

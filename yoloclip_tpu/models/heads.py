@@ -28,6 +28,37 @@ from flax import linen as nn
 from yoloclip_tpu.models.layers import ConvBlock
 
 
+class Proj1x1(nn.Module):
+    """1x1 conv with the same param tree/init/math as `nn.Conv(f, (1, 1))`
+    (kernel (1,1,Cin,Cout) HWIO + bias), but whose weights are also
+    retrievable via `weights()` so the composite can FOLD the projection
+    into the text side of the similarity (`ops/pallas/similarity.py::
+    fused_projected_similarity_argmax`) instead of materializing the
+    (B, A, E) obj embeddings in serve graphs."""
+
+    features: int
+    in_features: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param(
+            'kernel', nn.initializers.lecun_normal(),
+            (1, 1, self.in_features, self.features), jnp.float32)
+        self.bias = self.param('bias', nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dt = self.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), self.kernel.astype(dt), (1, 1), 'VALID',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        return y + self.bias.astype(dt)
+
+    def weights(self) -> Tuple[jax.Array, jax.Array]:
+        """(kernel (Cin, Cout), bias (Cout,)) in fp32."""
+        return self.kernel[0, 0], self.bias
+
+
 class TextContrastiveHead(nn.Module):
     """Per-level region-embedding (+ auxiliary DFL) head."""
 
@@ -41,21 +72,28 @@ class TextContrastiveHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
-                 with_box: bool = False
-                 ) -> Tuple[jax.Array, Optional[jax.Array]]:
+                 with_box: bool = False, return_hidden: bool = False
+                 ) -> Tuple[jax.Array, ...]:
         """x: (B,H,W,C) -> (obj_embed (B,H,W,E), box_preds or None).
 
         The composite model never consumes this head's box tower
         (`model/yolo_clip.py:179` discards it); we keep the parameters for
         checkpoint-surface parity but skip the FLOPs unless asked.
+
+        return_hidden=True appends (h, kernel, bias) — the pre-projection
+        hidden map and the obj_2 projection params — so the caller can run
+        the projection-folded fused scoring (the (B,H,W,E) `obj` is still
+        returned for the output contract; XLA dead-code-eliminates it in
+        serve graphs that only consume scores/class_ids).
         """
         dt, q = self.dtype, self.quant
         h = ConvBlock(self.hidden_dim, 3, dtype=dt, quant=q,
                       name='obj_0')(x, train)
         h = ConvBlock(self.hidden_dim, 3, dtype=dt, quant=q,
                       name='obj_1')(h, train)
-        obj = nn.Conv(self.embed_dim, (1, 1), dtype=dt,
-                      param_dtype=jnp.float32, name='obj_2')(h)
+        proj = Proj1x1(self.embed_dim, self.hidden_dim, dtype=dt,
+                       name='obj_2')
+        obj = proj(h)
         box = None
         if with_box:
             b = ConvBlock(self.hidden_dim, 3, dtype=dt, quant=q,
@@ -64,6 +102,9 @@ class TextContrastiveHead(nn.Module):
                           name='box_1')(b, train)
             box = nn.Conv(4 * (self.reg_max + 1), (1, 1), dtype=dt,
                           param_dtype=jnp.float32, name='box_2')(b)
+        if return_hidden:
+            kernel, bias = proj.weights()
+            return obj, box, (h, kernel, bias)
         return obj, box
 
     def compute_similarity(self, obj_embed: jax.Array,

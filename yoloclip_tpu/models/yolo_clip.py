@@ -79,14 +79,36 @@ class YOLOCLIP(nn.Module):
             name='neck')(feats, text_embeddings, train, class_mask,
                          skip_image_pool)
 
+        if use_fused:
+            from yoloclip_tpu.ops.pallas.similarity import (
+                fused_projected_similarity_argmax)
+            txt = text_embeddings.astype(jnp.float32)
+            txt_n = txt / jnp.maximum(jnp.linalg.norm(
+                txt, axis=-1, keepdims=True), 1e-12)
+
         sims, obj_embeds, aux_box = [], [], []
+        fold_s, fold_ids = [], []
         for i, feat in enumerate(pan_feats):
             head = TextContrastiveHead(
                 cfg.embed_dim, cfg.hidden_dim, cfg.reg_max,
                 cfg.cls_alpha, cfg.cls_beta, dtype=dt, quant=cfg.quant,
                 name=f'contrastive_heads_{i}')
-            obj, box = head(feat, train, with_box=with_aux_box)
-            if not use_fused:
+            if use_fused:
+                # Projection-folded Pallas scoring, PER LEVEL: the obj_2
+                # projection (hidden -> E) moves to the text side, so
+                # neither the (B, A, E) obj tensor, the level concat nor
+                # the (B, A, C) similarity is ever materialized. Per-image
+                # text: I-Pooling makes text embeddings image-dependent,
+                # so the kernel batches over B (never text[0]).
+                obj, box, (h2, k2, b2) = head(
+                    feat, train, with_box=with_aux_box, return_hidden=True)
+                Bh, Hh, Wh, Kh = h2.shape
+                s_i, id_i = fused_projected_similarity_argmax(
+                    h2.reshape(Bh, Hh * Wh, Kh), txt_n, k2, b2)
+                fold_s.append(s_i)
+                fold_ids.append(id_i)
+            else:
+                obj, box = head(feat, train, with_box=with_aux_box)
                 sim = head.compute_similarity(obj, text_embeddings)
                 if class_mask is not None:
                     sim = jnp.where(class_mask[:, None, :], sim, -jnp.inf)
@@ -102,25 +124,15 @@ class YOLOCLIP(nn.Module):
         boxes = decode_boxes(box_preds, cfg.strides, cfg.reg_max)
 
         obj_cat = jnp.concatenate(obj_embeds, axis=1)       # compute dtype
-        # fp32 copy only for the output contract; in serve graphs that
-        # drop obj_embeddings (e.g. one-program NMS deploy) XLA dead-code-
-        # eliminates this cast, and the fused kernel below reads the
-        # compute-dtype tensor directly
+        # fp32 copy only for the output contract; serve graphs drop
+        # obj_embeddings (e.g. one-program NMS deploy) and XLA dead-code-
+        # eliminates this cast AND, in the fused path, the obj_2
+        # projection itself (the folded kernel reads the hidden maps)
         obj_embeddings = obj_cat.astype(jnp.float32)
 
         if use_fused:
-            from yoloclip_tpu.ops.pallas.similarity import (
-                fused_similarity_argmax)
-            # per-image text: I-Pooling makes text embeddings image-
-            # dependent, so the kernel batches over B (never text[0]).
-            # obj rows go in RAW (normalize_obj=True folds the row norm
-            # inside the kernel): the fp32 normalize pass over the
-            # (B, A, E) tensor was ~2.7 GB of HBM traffic per bs=32 batch
-            txt = text_embeddings.astype(jnp.float32)
-            txt_n = txt / jnp.maximum(jnp.linalg.norm(
-                txt, axis=-1, keepdims=True), 1e-12)
-            s, class_ids = fused_similarity_argmax(
-                obj_cat, txt_n.astype(dt), normalize_obj=True)
+            s = jnp.concatenate(fold_s, axis=1)              # (B, A) fp32
+            class_ids = jnp.concatenate(fold_ids, axis=1)
             scores = cfg.cls_alpha * s + cfg.cls_beta
             similarity = None
         else:

@@ -166,6 +166,144 @@ def fused_similarity_argmax(obj: jax.Array, text: jax.Array,
     return scores, ids
 
 
+def _folded_kernel(nvalid_ref, h_ref, tp_ref, cb_ref, k_ref, b_ref,
+                   max_ref, arg_ref, acc_max, acc_arg):
+    """Projection-folded variant: the head's final 1x1 projection
+    obj = h @ K + b (K: (hidden, E)) is algebraically moved to the TEXT
+    side, so the (A, E) obj tensor never exists in HBM:
+
+        obj . t_c = h . (K t_c) + b . t_c   =>  raw = h @ tp^T + cb
+        ||obj||   = ||h K + b||             (computed in-VMEM at write time)
+
+    Inputs per grid step: h tile (TILE_A, hidden) RAW hidden activations,
+    tp tile (TILE_C, hidden) = text @ K^T, cb tile (TILE_C, 1) = text @ b,
+    k (hidden, E) and b (1, E) full (for the row-norm at write time).
+    Saves the head's E-wide projection conv, its (B, A, E) HBM round trip
+    and the level concat; the class matmul contracts over `hidden` (256)
+    instead of E (512)."""
+    ci = pl.program_id(2)
+    nc = pl.num_programs(2)
+    tile_c = tp_ref.shape[1]
+
+    @pl.when(ci == 0)
+    def _init():
+        acc_max[:] = jnp.full_like(acc_max, NEG)
+        acc_arg[:] = jnp.zeros_like(acc_arg)
+
+    scores = jax.lax.dot_general(
+        h_ref[0], tp_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (TILE_A, TILE_C)
+    scores = scores + cb_ref[0][:, 0][None, :]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + ci * tile_c
+    scores = jnp.where(col < nvalid_ref[0], scores, NEG)
+
+    tile_max = jnp.max(scores, axis=1)
+    tile_arg = jnp.argmax(scores, axis=1).astype(jnp.int32) + ci * tile_c
+
+    better = tile_max > acc_max[:, 0]
+    acc_max[:, 0] = jnp.where(better, tile_max, acc_max[:, 0])
+    acc_arg[:, 0] = jnp.where(better, tile_arg, acc_arg[:, 0])
+
+    @pl.when(ci == nc - 1)
+    def _write():
+        # row norm of the NEVER-MATERIALIZED obj = h @ K + b, fp32-accum
+        g = jax.lax.dot_general(
+            h_ref[0], k_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (TILE_A, E)
+        obj_f = g + b_ref[...]
+        norm = jnp.sqrt(jnp.sum(obj_f * obj_f, axis=1, keepdims=True))
+        max_ref[0] = acc_max[:] / jnp.maximum(norm, 1e-12)
+        arg_ref[0] = acc_arg[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('tile_a', 'tile_c', 'interpret'))
+def fused_projected_similarity_argmax(h: jax.Array, text: jax.Array,
+                                      kernel: jax.Array, bias: jax.Array,
+                                      num_valid: Optional[jax.Array] = None,
+                                      tile_a: int = 512, tile_c: int = 256,
+                                      interpret: Optional[bool] = None
+                                      ) -> Tuple[jax.Array, jax.Array]:
+    """Cosine max/argmax of `normalize(h @ kernel + bias) @ normalize(text)^T`
+    WITHOUT materializing the projected (B, A, E) obj embeddings OR the
+    (B, A, C) similarity tensor.
+
+    h: (A, K) or (B, A, K) raw hidden activations (pre-projection);
+    kernel: (K, E), bias: (E,) — the head's 1x1 projection params (fp32);
+    text: (C, E) or (B, C, E), must be L2-NORMALIZED.
+    Returns (scores, class_ids) shaped like `fused_similarity_argmax`.
+
+    The projection is folded into the text side (text_proj = text @ K^T,
+    class_bias = text @ b, both tiny) and the obj row norm is computed
+    inside the kernel from the VMEM-resident h tile. Algebraically
+    identical to projecting then scoring; floating-point differs by
+    rounding order only (the compute-dtype rounding of `obj` is replaced
+    by the compute-dtype rounding of `text_proj`).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    squeeze = h.ndim == 2
+    if squeeze:
+        h = h[None]
+    B, A, K = h.shape
+    if text.ndim == 2:
+        text = jnp.broadcast_to(text[None], (B,) + text.shape)
+    C = text.shape[1]
+    E = kernel.shape[1]
+    dt = h.dtype
+    txt32 = text.astype(jnp.float32)
+    k32 = kernel.astype(jnp.float32)
+    b32 = bias.astype(jnp.float32)
+    text_proj = jnp.einsum('bce,ke->bck', txt32, k32,
+                           preferred_element_type=jnp.float32).astype(dt)
+    cls_bias = jnp.einsum('bce,e->bc', txt32, b32,
+                          preferred_element_type=jnp.float32)[..., None]
+
+    Ap = -(-A // tile_a) * tile_a
+    Cp = -(-C // tile_c) * tile_c
+    h_p = _pad_to(h, Ap, 1)
+    tp_p = _pad_to(text_proj, Cp, 1)
+    cb_p = _pad_to(cls_bias, Cp, 1)
+    nvalid = jnp.asarray(
+        [C if num_valid is None else num_valid], jnp.int32)
+
+    grid = (B, Ap // tile_a, Cp // tile_c)
+    out_max, out_arg = pl.pallas_call(
+        _folded_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, tile_a, K), lambda b, a, c, nv: (b, a, 0)),
+                pl.BlockSpec((1, tile_c, K), lambda b, a, c, nv: (b, c, 0)),
+                pl.BlockSpec((1, tile_c, 1), lambda b, a, c, nv: (b, c, 0)),
+                pl.BlockSpec((K, E), lambda b, a, c, nv: (0, 0)),
+                pl.BlockSpec((1, E), lambda b, a, c, nv: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tile_a, 1), lambda b, a, c, nv: (b, a, 0)),
+                pl.BlockSpec((1, tile_a, 1), lambda b, a, c, nv: (b, a, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tile_a, 1), jnp.float32),
+                pltpu.VMEM((tile_a, 1), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Ap, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, Ap, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(nvalid, h_p, tp_p, cb_p, k32.astype(dt), b32[None])
+    scores, ids = out_max[:, :A, 0], out_arg[:, :A, 0]
+    if squeeze:
+        return scores[0], ids[0]
+    return scores, ids
+
+
 def similarity_argmax_reference(obj: jax.Array, text: jax.Array,
                                 num_valid: Optional[jax.Array] = None
                                 ) -> Tuple[jax.Array, jax.Array]:
