@@ -90,12 +90,27 @@ def _pad_to(x: jax.Array, size: int, axis: int, value=0.0) -> jax.Array:
     return jnp.pad(x, widths, constant_values=value)
 
 
+def _pick_tile_c(tile_c: Optional[int], C: int) -> int:
+    """Class-tile policy, measured on v5e (benchmarks/probe_lvis_fold.py):
+    the C-tile streaming loop costs ~1 us/grid-step of overhead, and at
+    LVIS scale (C=1203, 5 tiles of 256) that loop was ~10% of the WHOLE
+    serve pipeline. A single C tile collapses the running-max loop
+    entirely (1662 vs 1509 img/s e2e); stream only when the padded class
+    dim would blow the VMEM budget. Explicit tile_c is honored (clamped
+    to the padded C so tiny vocabularies never pad to dead columns)."""
+    cp = max(128, -(-C // 128) * 128)
+    if tile_c is None:
+        return cp if cp <= 2048 else 512
+    return min(tile_c, cp)
+
+
 @functools.partial(jax.jit,
                    static_argnames=('tile_a', 'tile_c', 'interpret',
                                     'normalize_obj'))
 def fused_similarity_argmax(obj: jax.Array, text: jax.Array,
                             num_valid: Optional[jax.Array] = None,
-                            tile_a: int = 512, tile_c: int = 256,
+                            tile_a: int = 512,
+                            tile_c: Optional[int] = None,
                             interpret: Optional[bool] = None,
                             normalize_obj: bool = False
                             ) -> Tuple[jax.Array, jax.Array]:
@@ -124,6 +139,7 @@ def fused_similarity_argmax(obj: jax.Array, text: jax.Array,
     if text.ndim == 2:
         text = jnp.broadcast_to(text[None], (B,) + text.shape)
     C = text.shape[1]
+    tile_c = _pick_tile_c(tile_c, C)
     Ap = -(-A // tile_a) * tile_a
     Cp = -(-C // tile_c) * tile_c
     # keep the input dtype (bf16 halves HBM traffic and doubles MXU rate;
@@ -224,7 +240,8 @@ def _folded_kernel(nvalid_ref, h_ref, tp_ref, cb_ref, k_ref, b_ref,
 def fused_projected_similarity_argmax(h: jax.Array, text: jax.Array,
                                       kernel: jax.Array, bias: jax.Array,
                                       num_valid: Optional[jax.Array] = None,
-                                      tile_a: int = 512, tile_c: int = 256,
+                                      tile_a: int = 512,
+                                      tile_c: Optional[int] = None,
                                       interpret: Optional[bool] = None
                                       ) -> Tuple[jax.Array, jax.Array]:
     """Cosine max/argmax of `normalize(h @ kernel + bias) @ normalize(text)^T`
@@ -252,14 +269,18 @@ def fused_projected_similarity_argmax(h: jax.Array, text: jax.Array,
     if text.ndim == 2:
         text = jnp.broadcast_to(text[None], (B,) + text.shape)
     C = text.shape[1]
+    tile_c = _pick_tile_c(tile_c, C)
     E = kernel.shape[1]
     dt = h.dtype
-    txt32 = text.astype(jnp.float32)
     k32 = kernel.astype(jnp.float32)
     b32 = bias.astype(jnp.float32)
-    text_proj = jnp.einsum('bce,ke->bck', txt32, k32,
+    # prep in COMPUTE dtype (fp32 accumulation): an fp32 matmul here runs
+    # as multi-pass bf16 on the MXU -- at LVIS scale (C=1203, x3 levels)
+    # that alone cost ~7% e2e. The old unfolded path cast text to the
+    # compute dtype before its kernel anyway; same rounding class.
+    text_proj = jnp.einsum('bce,ke->bck', text.astype(dt), k32.astype(dt),
                            preferred_element_type=jnp.float32).astype(dt)
-    cls_bias = jnp.einsum('bce,e->bc', txt32, b32,
+    cls_bias = jnp.einsum('bce,e->bc', text.astype(jnp.float32), b32,
                           preferred_element_type=jnp.float32)[..., None]
 
     Ap = -(-A // tile_a) * tile_a
