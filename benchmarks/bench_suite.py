@@ -375,6 +375,66 @@ def bench_int8(batch=32, classes=80, variant='n'):
          'images/sec/chip', 400)
 
 
+def bench_vocab_swap(batch=32, classes=80, n_vocabs=8, image_size=640):
+    """Config 21: online vocabulary hot-swap. The reference re-encodes the
+    CLIP text tower inside EVERY forward (`model/yolo_clip.py:130-165`);
+    here text embeddings are a plain (C, 512) INPUT to the jitted
+    detection graph, so swapping the vocabulary between batches must cost
+    nothing: no retrace, no recompile, no text FLOPs in the hot path.
+    Measured: steady-state throughput with a fixed vocabulary vs a
+    DIFFERENT vocabulary matrix every single batch, plus the one-time
+    cost of encoding a novel prompt through the text tower."""
+    import itertools
+
+    from yoloclip_tpu.ops.nms import batched_nms
+
+    model, variables, text = _model(image_size=image_size,
+                                    num_classes=classes)
+    images = jax.random.uniform(
+        jax.random.PRNGKey(1), (batch, image_size, image_size, 3),
+        jnp.float32)
+    fused = jax.default_backend() == 'tpu'
+
+    @jax.jit
+    def pipeline(variables, images, text):
+        out = model.apply(variables, images, text, fused_scores=fused)
+        return batched_nms(out['boxes'], out['scores'], out['class_ids'],
+                           0.25, 0.45, topk=1024, max_detections=300)
+
+    dt_fixed = _throughput_time(pipeline, variables, images, text)
+
+    keys = jax.random.split(jax.random.PRNGKey(7), n_vocabs)
+    vocabs = []
+    for k in keys:
+        v = jax.random.normal(k, (classes, 512), jnp.float32)
+        vocabs.append(v / jnp.linalg.norm(v, axis=-1, keepdims=True))
+    it = itertools.cycle(vocabs)
+
+    def swapped(variables, images, _):
+        return pipeline(variables, images, next(it))
+
+    dt_swap = _throughput_time(swapped, variables, images, None)
+    emit(f'vocab_swap_bs{batch}_throughput', batch / dt_swap,
+         'images/sec/chip', 400)
+    emit('vocab_swap_overhead', (dt_swap - dt_fixed) / dt_fixed * 100.0,
+         'percent_vs_fixed_vocab', None)
+
+    # One-time cost of a NOVEL prompt: tokenize + text-tower forward +
+    # normalize (amortized across every later batch by the process-wide
+    # prompt cache). Random-init tower -- same architecture/FLOPs as the
+    # converted OpenAI weights, so the timing is representative.
+    from yoloclip_tpu.text.encoder import CLIPTextEncoder
+    enc = CLIPTextEncoder()
+    enc(['a photo of a warmup'])            # compile the encode program
+    ts = []
+    for i in range(10):
+        t0 = time.perf_counter()
+        np.asarray(enc([f'a photo of a novel object {i}']))
+        ts.append(time.perf_counter() - t0)
+    emit('novel_prompt_encode_p50_latency', float(np.percentile(ts, 50))
+         * 1000.0, 'ms', None)
+
+
 def bench_int8_streaming(n_streams=8):
     """Config 12: the streaming pipeline (device letterbox from 1080p +
     forward + NMS) on the W8A8 deploy graph."""
@@ -456,7 +516,8 @@ def bench_int8_latency():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--configs',
-                    default='1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19')
+                    default='1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,'
+                            '19,20,21')
     args = ap.parse_args()
     wanted = set(args.configs.split(','))
     if '1' in wanted:
@@ -504,6 +565,13 @@ def main():
         bench_variant_s(variant='m')
     if '19' in wanted:
         bench_int8(variant='m')
+    if '20' in wanted:
+        # widest variant bench datapoint: 'l' (the scaling trend n->s->m->l
+        # pins where the selective-quant win crosses the MXU-bound regime)
+        bench_variant_s(variant='l')
+        bench_int8(variant='l')
+    if '21' in wanted:
+        bench_vocab_swap()
 
 
 if __name__ == '__main__':
