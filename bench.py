@@ -32,6 +32,35 @@ from yoloclip_tpu.utils.general import enable_compile_cache
 enable_compile_cache()
 
 
+def wait_for_backend(deadline_s: float) -> None:
+    """The shared TPU pool behind the tunnel occasionally stalls for
+    minutes; a backend-init failure inside THIS process would be cached by
+    jax, so probe `jax.devices()` in a SUBPROCESS until the pool answers
+    (or the deadline passes -- then proceed and let the real run surface
+    the genuine error)."""
+    import subprocess
+    import sys
+
+    if deadline_s <= 0:
+        return
+    t0 = time.monotonic()
+    probe = 'import jax; jax.devices()'
+    while True:
+        try:
+            r = subprocess.run([sys.executable, '-c', probe],
+                               timeout=180, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() - t0 > deadline_s:
+            print('backend probe never succeeded within '
+                  f'{deadline_s:.0f}s; attempting the run anyway',
+                  file=sys.stderr)
+            return
+        time.sleep(30)
+
+
 def build(batch_size: int, num_classes: int, image_size: int, dtype: str,
           variant: str = 'n'):
     from yoloclip_tpu.config import (COCO_CLASS_NAMES, InferenceConfig,
@@ -72,10 +101,14 @@ def main():
     ap.add_argument('--int8', action='store_true',
                     help='(default) measure the W8A8 quantized serving path '
                          '(ops/quantize.py; quality numbers in RESULTS.md)')
+    ap.add_argument('--backend-wait', type=float, default=900.0,
+                    help='max seconds to wait for the (shared, occasionally '
+                         'stalled) TPU pool before starting; 0 disables')
     args = ap.parse_args()
     if args.bf16 and args.int8:
         ap.error('--bf16 and --int8 are mutually exclusive')
     use_int8 = not args.bf16
+    wait_for_backend(args.backend_wait)
 
     detector, images = build(args.batch_size, args.classes, args.image_size,
                              args.dtype, args.variant)
