@@ -156,6 +156,23 @@ def test_reference_composite_parity_m_variant(ref):
             == t_out['class_ids'].numpy()).mean() > 0.99
 
 
+def test_reference_composite_parity_l_variant(ref):
+    """Variant 'l' vs the (I-Pool-corrected) reference. 'l' runs the FULL
+    width/depth multipliers (1.0/1.0) and is the first variant where no
+    stage hits the max-channel cap asymmetrically -- together with
+    n/s/m this pins the whole variant table (`yolov8.py:106-129`) against
+    reference math. Small canvas keeps the CPU cost bounded."""
+    out, t_out = _composite_pair(ref, 'l', 224, 'float32')
+    np.testing.assert_allclose(np.asarray(out['boxes']),
+                               t_out['boxes'].numpy(),
+                               rtol=2e-3, atol=0.05)
+    np.testing.assert_allclose(np.asarray(out['scores']),
+                               t_out['scores'].numpy(),
+                               rtol=1e-3, atol=1e-3)
+    assert (np.asarray(out['class_ids'])
+            == t_out['class_ids'].numpy()).mean() > 0.99
+
+
 # ---------------------------------------------------------------------------
 # NMS / postprocess oracle (reference inference/detector.py:163-287)
 # ---------------------------------------------------------------------------
