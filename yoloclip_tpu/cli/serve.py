@@ -1,0 +1,211 @@
+"""HTTP detection service (stdlib-only) over the micro-batching runtime.
+
+    # serve COCO-80 int8 on :8000 (calibrate on a directory of images):
+    python -m yoloclip_tpu.cli.serve --model run/final_model --port 8000 \
+        --int8 --calib-dir samples/
+
+    # query it:
+    curl -s -X POST --data-binary @dog.jpg localhost:8000/detect | jq .
+    curl -s localhost:8000/stats
+
+Endpoints:
+    POST /detect   image bytes (JPEG/PNG) -> JSON detection list
+                   (same schema as YOLOCLIPDetector.detect: box int xyxy
+                   in ORIGINAL image pixels, score, class_id, class_name)
+    POST /vocab    JSON {"class_names": [...]} -> hot-swap the serving
+                   vocabulary (encoded once; next batch scores against it)
+    GET  /stats    micro-batcher counters (occupancy, latency percentiles)
+    GET  /healthz  liveness
+
+No reference equivalent (the reference's `scripts/demo.py` is a local
+one-shot). Concurrent requests from `ThreadingHTTPServer`'s per-client
+threads block on futures from ONE `DetectionServer`
+(`inference/server.py`), which coalesces them into fixed-shape device
+batches -- single-image clients get batched throughput without managing
+batches themselves.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger('yoloclip_tpu.serve')
+
+MAX_BODY_BYTES = 64 * 1024 * 1024
+
+
+def decode_image_bytes(buf: bytes) -> np.ndarray:
+    """JPEG/PNG bytes -> (H, W, 3) uint8 RGB: native C++ decoder first,
+    PIL fallback (mirrors data/coco.py::_imread_rgb's backend order)."""
+    from yoloclip_tpu import native
+    if native.available():
+        try:
+            return native.decode_bytes(buf)
+        except ValueError:
+            pass   # unusual format: fall through
+    import io
+
+    from PIL import Image
+    return np.asarray(Image.open(io.BytesIO(buf)).convert('RGB'))
+
+
+def make_handler(server):
+    """Bind a BaseHTTPRequestHandler subclass to a DetectionServer."""
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = 'HTTP/1.1'
+
+        def _reply(self, code: int, payload) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header('Content-Type', 'application/json')
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_body(self) -> Optional[bytes]:
+            n = int(self.headers.get('Content-Length') or 0)
+            if n <= 0:
+                self._reply(400, {'error': 'empty body'})
+                return None
+            if n > MAX_BODY_BYTES:
+                self._reply(413, {'error': 'body too large'})
+                return None
+            return self.rfile.read(n)
+
+        def do_GET(self):
+            if self.path == '/healthz':
+                self._reply(200, {'status': 'ok'})
+            elif self.path == '/stats':
+                self._reply(200, server.stats())
+            else:
+                self._reply(404, {'error': f'unknown path {self.path}'})
+
+        def do_POST(self):
+            body = self._read_body()
+            if body is None:
+                return
+            if self.path == '/detect':
+                try:
+                    image = decode_image_bytes(body)
+                except Exception:
+                    self._reply(400, {'error': 'undecodable image'})
+                    return
+                try:
+                    dets = server.detect(image, timeout=60.0)
+                except Exception as e:
+                    self._reply(500, {'error': str(e)})
+                    return
+                self._reply(200, {'detections': dets})
+            elif self.path == '/vocab':
+                try:
+                    names = json.loads(body)['class_names']
+                    assert isinstance(names, list) and names
+                except Exception:
+                    self._reply(
+                        400, {'error': 'expected {"class_names": [...]}'})
+                    return
+                server.set_vocabulary([str(n) for n in names])
+                self._reply(200, {'status': 'ok', 'classes': len(names)})
+            else:
+                self._reply(404, {'error': f'unknown path {self.path}'})
+
+        def log_message(self, fmt, *args):   # route through logging
+            logger.info('%s -- %s', self.address_string(), fmt % args)
+
+    return Handler
+
+
+def build_server(args) -> 'object':
+    """args -> (DetectionServer, detector). Split out for tests."""
+    from yoloclip_tpu.config import (COCO_CLASS_NAMES, InferenceConfig,
+                                     ModelConfig)
+    from yoloclip_tpu.inference.detector import YOLOCLIPDetector
+    from yoloclip_tpu.inference.server import DetectionServer
+
+    classes = ([c.strip() for c in args.classes.split(',') if c.strip()]
+               if args.classes else list(COCO_CLASS_NAMES))
+    cfg = InferenceConfig(
+        model=ModelConfig(backbone_variant=args.variant,
+                          image_size=(args.image_size, args.image_size),
+                          dtype='bfloat16'),
+        class_names=tuple(classes),
+        conf_threshold=args.conf, iou_threshold=args.iou)
+    detector = YOLOCLIPDetector(model_path=args.model, config=cfg,
+                                vocab_path=args.vocab or None)
+    if args.int8:
+        if not args.calib_dir:
+            raise SystemExit('--int8 needs --calib-dir (a directory of '
+                             'representative images for activation '
+                             'calibration)')
+        import os
+        exts = ('.jpg', '.jpeg', '.png')
+        paths = sorted(
+            os.path.join(args.calib_dir, f)
+            for f in os.listdir(args.calib_dir)
+            if f.lower().endswith(exts))[:16]
+        if not paths:
+            raise SystemExit(f'no jpg/png files in {args.calib_dir}')
+        from yoloclip_tpu.data.coco import _imread_rgb
+        th = tw = args.image_size
+        batch = []
+        for p in paths:
+            canvas, _ = detector._host_letterbox(_imread_rgb(p))
+            batch.append(canvas)
+        detector.quantize_int8(np.stack(batch))
+        logger.info('int8 deploy path calibrated on %d images', len(batch))
+    return DetectionServer(detector, max_batch=args.max_batch,
+                           max_delay_ms=args.max_delay_ms), detector
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description='HTTP detection service (micro-batching)')
+    ap.add_argument('--model', default=None, help='checkpoint dir')
+    ap.add_argument('--classes', default=None,
+                    help='comma-separated class names (default COCO-80)')
+    ap.add_argument('--vocab', default=None, help='offline vocabulary JSON')
+    ap.add_argument('--variant', default='n')
+    ap.add_argument('--image-size', type=int, default=640)
+    ap.add_argument('--conf', type=float, default=0.25)
+    ap.add_argument('--iou', type=float, default=0.45)
+    ap.add_argument('--int8', action='store_true',
+                    help='serve the W8A8 deploy configuration')
+    ap.add_argument('--calib-dir', default=None,
+                    help='directory of images for int8 calibration')
+    ap.add_argument('--max-batch', type=int, default=32)
+    ap.add_argument('--max-delay-ms', type=float, default=5.0)
+    ap.add_argument('--host', default='127.0.0.1')
+    ap.add_argument('--port', type=int, default=8000)
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    server, detector = build_server(args)
+    # pre-compile the serving program so the first request doesn't pay
+    # the XLA compile (minutes on a cold remote backend)
+    dummy = np.zeros((8, 8, 3), np.uint8)
+    server.detect(dummy)
+    logger.info('serving %d classes (%s, %s) on %s:%d',
+                len(detector.class_names), args.variant,
+                'int8' if args.int8 else 'bf16', args.host, args.port)
+
+    httpd = ThreadingHTTPServer((args.host, args.port),
+                                make_handler(server))
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        server.close()
+    return 0
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())

@@ -93,17 +93,30 @@ def _u8ptr(a: np.ndarray):
 
 def decode_image(path: str) -> np.ndarray:
     """Decode a JPEG/PNG file to (H, W, 3) uint8 RGB."""
+    try:
+        return decode_bytes(np.fromfile(path, np.uint8))
+    except ValueError as e:
+        raise ValueError(f'{e} ({path})') from None
+
+
+def decode_bytes(buf) -> np.ndarray:
+    """Decode an in-memory JPEG/PNG byte buffer to (H, W, 3) uint8 RGB --
+    the HTTP serving path (`cli/serve.py`): request bodies never touch
+    disk."""
     lib = _load()
     if lib is None:
         raise RuntimeError('native dataload unavailable')
-    data = np.fromfile(path, np.uint8)
+    data = np.frombuffer(buf, np.uint8) if isinstance(buf, (bytes,
+                                                            bytearray,
+                                                            memoryview)) \
+        else np.ascontiguousarray(buf, np.uint8)
     h, w = ctypes.c_int(), ctypes.c_int()
     if lib.ycl_image_info(_u8ptr(data), data.size,
                           ctypes.byref(h), ctypes.byref(w)) != 0:
-        raise ValueError(f'cannot decode {path}')
+        raise ValueError('cannot decode image buffer')
     out = np.empty((h.value, w.value, 3), np.uint8)
     if lib.ycl_decode_rgb(_u8ptr(data), data.size, _u8ptr(out)) != 0:
-        raise ValueError(f'decode failed for {path}')
+        raise ValueError('image buffer decode failed')
     return out
 
 
