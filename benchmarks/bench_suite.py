@@ -435,6 +435,71 @@ def bench_vocab_swap(batch=32, classes=80, n_vocabs=8, image_size=640):
          * 1000.0, 'ms', None)
 
 
+def bench_serving(n_clients=64, n_requests=512, max_batch=32,
+                  max_delay_ms=5.0, image_size=640, int8=True):
+    """Config 22: micro-batching serving runtime (inference/server.py).
+
+    n_clients threads each submit single images of MIXED resolutions --
+    the realistic serving workload the reference handles one image at a
+    time. The micro-batcher coalesces them into fixed-shape bs=max_batch
+    device programs; reported: aggregate img/s, mean batch occupancy and
+    p50/p95 request latency (queueing + letterbox + device + fetch)."""
+    import threading
+
+    from yoloclip_tpu.config import InferenceConfig, ModelConfig
+    from yoloclip_tpu.inference.detector import YOLOCLIPDetector
+    from yoloclip_tpu.inference.server import DetectionServer
+
+    cfg = InferenceConfig(
+        model=ModelConfig(image_size=(image_size, image_size),
+                          dtype='bfloat16'),
+        conf_threshold=0.25, iou_threshold=0.45,
+        nms_topk=1024, max_detections=300)
+    det = YOLOCLIPDetector(config=cfg)   # COCO-80 offline vocabulary
+    rng = np.random.RandomState(0)
+    if int8:
+        calib = (rng.rand(8, image_size, image_size, 3) * 255
+                 ).astype(np.uint8)
+        det.quantize_int8(calib)
+
+    # mixed client resolutions (each host-letterboxed by its own thread)
+    sizes = [(480, 640), (720, 1280), (1080, 1920), (640, 640)]
+    frames = [(rng.rand(h, w, 3) * 255).astype(np.uint8)
+              for h, w in sizes]
+
+    srv = DetectionServer(det, max_batch=max_batch,
+                          max_delay_ms=max_delay_ms)
+    try:
+        srv.detect(frames[0])   # compile outside the timing
+        srv.reset_stats()
+        per_client = n_requests // n_clients
+        t0 = time.perf_counter()
+
+        def client(i):
+            for k in range(per_client):
+                srv.detect(frames[(i + k) % len(frames)], timeout=600)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+        s = srv.stats()
+        tag = 'int8_' if int8 else ''
+        emit(f'serving_{tag}{n_clients}clients_throughput',
+             per_client * n_clients / dt, 'images/sec/chip', 400)
+        emit(f'serving_{tag}{n_clients}clients_mean_occupancy',
+             s['mean_occupancy'], 'images/batch', None)
+        emit(f'serving_{tag}{n_clients}clients_p50_latency',
+             s['p50_latency_ms'], 'ms', None)
+        emit(f'serving_{tag}{n_clients}clients_p95_latency',
+             s['p95_latency_ms'], 'ms', None)
+    finally:
+        srv.close()
+
+
 def bench_int8_streaming(n_streams=8):
     """Config 12: the streaming pipeline (device letterbox from 1080p +
     forward + NMS) on the W8A8 deploy graph."""
@@ -517,7 +582,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--configs',
                     default='1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,'
-                            '19,20,21')
+                            '19,20,21,22')
     args = ap.parse_args()
     wanted = set(args.configs.split(','))
     if '1' in wanted:
@@ -572,6 +637,8 @@ def main():
         bench_int8(variant='l')
     if '21' in wanted:
         bench_vocab_swap()
+    if '22' in wanted:
+        bench_serving()
 
 
 if __name__ == '__main__':

@@ -204,6 +204,15 @@ class DetectionServer:
                 'queue_depth': self._queue.qsize(),
             }
 
+    def reset_stats(self) -> None:
+        """Zero the counters (e.g. after warmup, so the first request's
+        XLA compile doesn't skew latency percentiles)."""
+        with self._stats_lock:
+            self._n_requests = 0
+            self._n_batches = 0
+            self._occupancy_sum = 0
+            self._latencies = []
+
     def close(self, timeout: float = 30.0) -> None:
         """Drain the queue, stop both pipeline threads. Idempotent."""
         if self._closed:
