@@ -30,6 +30,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -197,13 +198,20 @@ def main(argv=None) -> int:
 
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(server))
+
+    import signal
+    signal.signal(signal.SIGTERM,
+                  lambda *_: threading.Thread(target=httpd.shutdown,
+                                              daemon=True).start())
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
         httpd.shutdown()
-        server.close()
+        httpd.server_close()
+        server.close()   # drains queued requests before stopping
+        logger.info('drained and stopped: %s', server.stats())
     return 0
 
 
