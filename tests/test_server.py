@@ -131,6 +131,39 @@ def test_server_close_semantics(detector):
     srv.close()   # idempotent
 
 
+def test_server_sharded_over_mesh(detector, server):
+    """DetectionServer(mesh=...) shards batch rows over 'data' and must
+    agree with the single-device server on identical inputs."""
+    from yoloclip_tpu.inference.server import DetectionServer
+    from yoloclip_tpu.parallel.mesh import create_mesh
+    mesh = create_mesh(n_data=4, n_model=1)
+    srv = DetectionServer(detector, max_batch=4, max_delay_ms=50.0,
+                          mesh=mesh)
+    try:
+        imgs = [_img(i, 100 + 7 * i, 140) for i in range(4)]
+        futs = [srv.submit(im) for im in imgs]
+        got = [f.result(timeout=300) for f in futs]
+        want = [server.detect(im, timeout=300) for im in imgs]
+        for g, w in zip(got, want):
+            assert len(g) == len(w)
+            for a, b in zip(g, w):
+                assert a['class_id'] == b['class_id']
+                np.testing.assert_allclose(a['score'], b['score'],
+                                           rtol=1e-4, atol=1e-5)
+                assert np.abs(np.array(a['box'])
+                              - np.array(b['box'])).max() <= 1
+    finally:
+        srv.close()
+
+
+def test_server_mesh_batch_divisibility(detector):
+    from yoloclip_tpu.inference.server import DetectionServer
+    from yoloclip_tpu.parallel.mesh import create_mesh
+    mesh = create_mesh(n_data=4, n_model=1)
+    with pytest.raises(ValueError, match='data'):
+        DetectionServer(detector, max_batch=6, mesh=mesh)
+
+
 # ---------------------------------------------------------------------------
 # HTTP front-end
 # ---------------------------------------------------------------------------

@@ -161,8 +161,19 @@ def build_server(args) -> 'object':
             batch.append(canvas)
         detector.quantize_int8(np.stack(batch))
         logger.info('int8 deploy path calibrated on %d images', len(batch))
+    mesh = None
+    if args.devices:
+        import jax
+
+        from yoloclip_tpu.parallel.mesh import create_mesh
+        n = (len(jax.devices()) if args.devices == 'auto'
+             else int(args.devices))
+        if n > 1:
+            mesh = create_mesh(n_data=n, n_model=1)
+            logger.info('serving over a data-parallel mesh: %s', mesh.shape)
     return DetectionServer(detector, max_batch=args.max_batch,
-                           max_delay_ms=args.max_delay_ms), detector
+                           max_delay_ms=args.max_delay_ms,
+                           mesh=mesh), detector
 
 
 def main(argv=None) -> int:
@@ -182,6 +193,9 @@ def main(argv=None) -> int:
                     help='directory of images for int8 calibration')
     ap.add_argument('--max-batch', type=int, default=32)
     ap.add_argument('--max-delay-ms', type=float, default=5.0)
+    ap.add_argument('--devices', default=None,
+                    help="shard batches over N chips ('auto' = all); "
+                         'requests are data-parallel')
     ap.add_argument('--host', default='127.0.0.1')
     ap.add_argument('--port', type=int, default=8000)
     args = ap.parse_args(argv)

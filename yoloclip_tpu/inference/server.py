@@ -74,7 +74,8 @@ class DetectionServer:
 
     def __init__(self, detector, max_batch: int = 32,
                  max_delay_ms: float = 5.0,
-                 queue_capacity: int = 1024):
+                 queue_capacity: int = 1024,
+                 mesh=None):
         if detector.offline_vocabulary is None:
             raise ValueError(
                 'DetectionServer needs a detector with an offline '
@@ -82,6 +83,11 @@ class DetectionServer:
                 'YOLOCLIPDetector, or call set_offline_vocabulary)')
         if max_batch < 1:
             raise ValueError(f'max_batch must be >= 1, got {max_batch}')
+        if mesh is not None and max_batch % mesh.shape['data'] != 0:
+            raise ValueError(
+                f"max_batch ({max_batch}) must divide evenly over the "
+                f"mesh's 'data' axis ({mesh.shape['data']})")
+        self.mesh = mesh
         self.detector = detector
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1000.0
@@ -124,7 +130,6 @@ class DetectionServer:
         fused = det._use_fused_similarity()
         agnostic = getattr(det.config, 'class_agnostic_nms', True)
 
-        @jax.jit
         def run(variables, canvases_u8, text, scales, orig_whs,
                 conf_threshold, iou_threshold):
             canv = canvases_u8.astype(jnp.float32) / 255.0
@@ -146,7 +151,18 @@ class DetectionServer:
                 o['prefilter_saturated'].astype(jnp.float32))
             return jnp.concatenate([head, packed], axis=1)
 
-        return run
+        if self.mesh is not None:
+            # batch rows shard over 'data' (requests are embarrassingly
+            # data-parallel); params/text replicate -- same recipe as
+            # inference/streaming.py
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            repl = NamedSharding(self.mesh, P())
+            data1 = NamedSharding(self.mesh, P('data'))
+            return jax.jit(run, in_shardings=(
+                jax.tree_util.tree_map(lambda _: repl, det.variables),
+                data1, repl, data1, data1, repl, repl))
+        return jax.jit(run)
 
     # ------------------------------------------------------------------
     # client API
