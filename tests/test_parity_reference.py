@@ -173,6 +173,23 @@ def test_reference_composite_parity_l_variant(ref):
             == t_out['class_ids'].numpy()).mean() > 0.99
 
 
+def test_reference_composite_parity_x_variant(ref):
+    """Variant 'x' vs the (I-Pool-corrected) reference -- completes the
+    n/s/m/l/x table. 'x' is the only variant with width multiplier > 1
+    (1.25), so it exercises the 512-channel stage cap interacting with
+    up-scaling (`yolov8.py:106-129`) that no smaller variant reaches.
+    Tiny canvas + batch 1 keep the CPU cost bounded."""
+    out, t_out = _composite_pair(ref, 'x', 192, 'float32', batch=1)
+    np.testing.assert_allclose(np.asarray(out['boxes']),
+                               t_out['boxes'].numpy(),
+                               rtol=2e-3, atol=0.05)
+    np.testing.assert_allclose(np.asarray(out['scores']),
+                               t_out['scores'].numpy(),
+                               rtol=1e-3, atol=1e-3)
+    assert (np.asarray(out['class_ids'])
+            == t_out['class_ids'].numpy()).mean() > 0.99
+
+
 # ---------------------------------------------------------------------------
 # NMS / postprocess oracle (reference inference/detector.py:163-287)
 # ---------------------------------------------------------------------------
