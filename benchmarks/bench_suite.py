@@ -639,6 +639,12 @@ def main():
         bench_vocab_swap()
     if '22' in wanted:
         bench_serving()
+    if '23' in wanted:
+        # deeper saturation probe: does bs=128 -> bs=256 still pay?
+        # (bs=128 already amortizes most fixed traffic; this bounds the
+        # curve's knee for capacity planning)
+        bench_peak_throughput(batch=256)
+        bench_int8(batch=256)
 
 
 if __name__ == '__main__':
