@@ -90,7 +90,8 @@ def main():
     tag = 'bf16'
     if args.int8:
         from yoloclip_tpu.ops.quantize import quantize_model
-        model, variables = quantize_model(model, variables, images[:8], text)
+        model, variables = quantize_model(
+            cfg, variables, [(images[:8].astype(jnp.float32), text)])
         tag = 'int8'
 
     def upto(stage_idx):

@@ -431,7 +431,11 @@ def main():
         for i in range(N - C):
             if i % 2 == 0:      # pure random unit vector
                 v = rs.randn(text.shape[1])
-            else:               # hard negative: cos ~0.7 with a real class
+            else:
+                # hard negative: real class + 0.7||t|| of isotropic noise
+                # -> E[cos(v, t)] = 1/sqrt(1 + 0.49) ~= 0.82 after the
+                # renormalize below (NOT 0.7: the noise is added, not
+                # mixed, so the parent direction keeps unit weight)
                 v = text[i % C] + 0.7 * rs.randn(text.shape[1]) / np.sqrt(
                     text.shape[1]) * np.linalg.norm(text[i % C])
             distract.append(v / np.linalg.norm(v))

@@ -223,3 +223,22 @@ def test_synth_density_param_and_default_bit_identity():
     # denser scenes really carry more objects on average
     assert dense['valid_mask'].sum(1).mean() > base['valid_mask'].sum(1).mean()
     assert dense['valid_mask'].sum(1).max() >= 6
+
+
+def test_resize_numpy_bilinear_matches_cv2():
+    """The pure-numpy bilinear fallback (no cv2/PIL hosts) must track
+    cv2.resize INTER_LINEAR closely enough that host letterbox results
+    are interchangeable (DetectionServer.submit relies on it)."""
+    import cv2
+
+    from yoloclip_tpu.data.coco import _resize_numpy_bilinear
+    rs = np.random.RandomState(0)
+    img = (rs.rand(37, 53, 3) * 255).astype(np.uint8)
+    for w, h in [(26, 18), (80, 64), (53, 37)]:
+        ours = _resize_numpy_bilinear(img, w, h)
+        ref = cv2.resize(img, (w, h))
+        assert ours.shape == ref.shape == (h, w, 3)
+        diff = np.abs(ours.astype(int) - ref.astype(int))
+        # interior agrees to ~1 LSB; borders may differ by edge handling
+        assert np.median(diff) <= 1
+        assert diff.mean() <= 2.0

@@ -154,7 +154,6 @@ def build_server(args) -> 'object':
         if not paths:
             raise SystemExit(f'no jpg/png files in {args.calib_dir}')
         from yoloclip_tpu.data.coco import _imread_rgb
-        th = tw = args.image_size
         batch = []
         for p in paths:
             canvas, _ = detector._host_letterbox(_imread_rgb(p))
@@ -206,6 +205,7 @@ def main(argv=None) -> int:
     # the XLA compile (minutes on a cold remote backend)
     dummy = np.zeros((8, 8, 3), np.uint8)
     server.detect(dummy)
+    server.reset_stats()   # don't let the compile latency skew /stats
     logger.info('serving %d classes (%s, %s) on %s:%d',
                 len(detector.class_names), args.variant,
                 'int8' if args.int8 else 'bf16', args.host, args.port)

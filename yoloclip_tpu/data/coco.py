@@ -60,8 +60,39 @@ def _resize(img: np.ndarray, wh: Tuple[int, int]) -> np.ndarray:
         import cv2
         return cv2.resize(img, (w, h))
     except ImportError:
+        pass
+    try:
         from PIL import Image
         return np.asarray(Image.fromarray(img).resize((w, h)))
+    except ImportError:
+        return _resize_numpy_bilinear(img, w, h)
+
+
+def _resize_numpy_bilinear(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Pure-numpy bilinear resize (half-pixel centers, cv2/PIL convention).
+
+    Last-resort fallback for pure-XLA hosts with neither cv2 nor PIL, so
+    host-letterbox consumers (DetectionServer.submit, the native-less CLI
+    paths) degrade instead of crashing. Within ~1 LSB of cv2's
+    INTER_LINEAR away from borders."""
+    ih, iw = img.shape[:2]
+    x = (np.arange(w, dtype=np.float64) + 0.5) * (iw / w) - 0.5
+    y = (np.arange(h, dtype=np.float64) + 0.5) * (ih / h) - 0.5
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, iw - 1)
+    y0 = np.clip(np.floor(y).astype(np.int64), 0, ih - 1)
+    x1 = np.minimum(x0 + 1, iw - 1)
+    y1 = np.minimum(y0 + 1, ih - 1)
+    fx = np.clip(x - x0, 0.0, 1.0)[None, :, None]
+    fy = np.clip(y - y0, 0.0, 1.0)[:, None, None]
+    im = img.astype(np.float64)
+    top = im[y0[:, None], x0[None, :]] * (1 - fx) + im[y0[:, None],
+                                                       x1[None, :]] * fx
+    bot = im[y1[:, None], x0[None, :]] * (1 - fx) + im[y1[:, None],
+                                                       x1[None, :]] * fx
+    out = top * (1 - fy) + bot * fy
+    if np.issubdtype(img.dtype, np.integer):
+        return np.clip(np.rint(out), 0, 255).astype(img.dtype)
+    return out.astype(img.dtype)
 
 
 class CocoIndex:

@@ -326,6 +326,13 @@ class DetectionServer:
                     r.future.set_exception(e)
                 continue
             now = time.perf_counter()
+            # Stats BEFORE resolving futures: a client waking from
+            # future.result() must observe its own request in stats().
+            with self._stats_lock:
+                self._n_requests += len(reqs)
+                self._latencies.extend(now - r.t_enq for r in reqs)
+                if len(self._latencies) > 10000:
+                    del self._latencies[:-5000]
             for i, r in enumerate(reqs):
                 row = packed[i]
                 if row[0, 1] > 0:
@@ -344,8 +351,3 @@ class DetectionServer:
                         if 0 <= cid < len(r.names) else f'Class {cid}',
                     })
                 r.future.set_result(dets)
-            with self._stats_lock:
-                self._n_requests += len(reqs)
-                self._latencies.extend(now - r.t_enq for r in reqs)
-                if len(self._latencies) > 10000:
-                    del self._latencies[:-5000]
