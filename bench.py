@@ -101,9 +101,11 @@ def main():
     ap.add_argument('--int8', action='store_true',
                     help='(default) measure the W8A8 quantized serving path '
                          '(ops/quantize.py; quality numbers in RESULTS.md)')
-    ap.add_argument('--backend-wait', type=float, default=900.0,
+    ap.add_argument('--backend-wait', type=float, default=3600.0,
                     help='max seconds to wait for the (shared, occasionally '
-                         'stalled) TPU pool before starting; 0 disables')
+                         'stalled) TPU pool before starting; 0 disables. '
+                         'Outages of 2h+ have been observed; a failed '
+                         'init is cheaper to wait out than to report')
     args = ap.parse_args()
     if args.bf16 and args.int8:
         ap.error('--bf16 and --int8 are mutually exclusive')
