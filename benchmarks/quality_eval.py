@@ -287,9 +287,9 @@ def main():
     ap.add_argument('--iou', type=float, default=0.45)
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--num-classes', type=int, default=6,
-                    help='synthetic class count (palette repeats past 6 '
-                         'with distinct jitter seeds -- keep <= 6 for the '
-                         'reference cross-check, larger for scale runs)')
+                    help='synthetic class count (<= 6 uses the original '
+                         'shape palette; beyond 6 each class gets a '
+                         'distinct evenly-spaced hue, no repeats)')
     ap.add_argument('--objects', type=_pair, default=(2, 5), metavar='LO,HI',
                     help='drawn objects per image (default 2,5 matches the '
                          'original set; raise for denser scenes)')

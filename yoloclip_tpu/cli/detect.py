@@ -112,11 +112,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         # calibrate on up to the first 8 inputs (ADVICE r2: single-image
         # calibration under-covers the activation range); inputs may have
         # mixed resolutions, so letterbox each to the model canvas first
-        if detector._host_letterbox_available():
-            calib = np.stack([detector._host_letterbox(_imread_rgb(p))[0]
-                              for p in paths[:8]])
-        else:   # pure-XLA env: device letterbox needs uniform shapes
-            calib = _imread_rgb(paths[0])[None]
+        # (_host_letterbox always works: native/cv2/PIL, then the numpy
+        # bilinear fallback — no decoder-less branch is reachable, since
+        # reading the image at all already needed one)
+        calib = np.stack([detector._host_letterbox(_imread_rgb(p))[0]
+                          for p in paths[:8]])
         detector.quantize_int8(calib)
 
     os.makedirs(cfg.output_dir, exist_ok=True)

@@ -107,8 +107,11 @@ def make_handler(server):
             elif self.path == '/vocab':
                 try:
                     names = json.loads(body)['class_names']
-                    assert isinstance(names, list) and names
                 except Exception:
+                    names = None
+                # explicit check, not assert: `python -O` strips asserts
+                # and an empty vocabulary poisons every later batch (C=0)
+                if not isinstance(names, list) or not names:
                     self._reply(
                         400, {'error': 'expected {"class_names": [...]}'})
                     return

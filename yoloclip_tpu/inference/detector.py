@@ -21,7 +21,7 @@ from __future__ import annotations
 import functools
 import logging
 import time
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -39,23 +39,48 @@ logger = logging.getLogger(__name__)
 
 
 def _pack_detections(out: Dict[str, jax.Array]) -> jax.Array:
-    """NMS dict -> ONE (max_det + 1, 6) float32 array: row 0 carries the
-    count, each following row is [x1, y1, x2, y2, score, class_id].
+    """NMS dict -> ONE ([B,] max_det + 1, 6) float32 array: row 0 carries
+    the count, each following row is [x1, y1, x2, y2, score, class_id].
 
     Through a remote-TPU tunnel every device->host fetch costs a fixed
     round trip (~30 ms here); packing makes `detect()` pay exactly one
     instead of four (count + boxes + scores + class_ids). Slot [0, 1]
     carries the NMS prefilter-saturation flag (more candidates above the
-    confidence threshold than nms_topk -- results may be clipped)."""
+    confidence threshold than nms_topk -- results may be clipped).
+
+    Shape-polymorphic over leading batch dims: the SAME function packs
+    the single-image detect() program and the serving runtime's batched
+    program (inference/server.py), so the slot layout has exactly one
+    definition."""
     packed = jnp.concatenate([
         out['boxes'].astype(jnp.float32),
-        out['scores'][:, None].astype(jnp.float32),
-        out['class_ids'][:, None].astype(jnp.float32)], axis=1)
-    head = jnp.zeros((1, 6), jnp.float32)
-    head = head.at[0, 0].set(out['count'].astype(jnp.float32))
-    head = head.at[0, 1].set(
+        out['scores'][..., None].astype(jnp.float32),
+        out['class_ids'][..., None].astype(jnp.float32)], axis=-1)
+    head = jnp.zeros(packed.shape[:-2] + (1, 6), jnp.float32)
+    head = head.at[..., 0, 0].set(out['count'].astype(jnp.float32))
+    head = head.at[..., 0, 1].set(
         out['prefilter_saturated'].astype(jnp.float32))
-    return jnp.concatenate([head, packed], axis=0)
+    return jnp.concatenate([head, packed], axis=-2)
+
+
+def _unpack_detections(packed: np.ndarray, names: Sequence[str]
+                       ) -> Tuple[List[Dict], bool]:
+    """Inverse of _pack_detections for ONE image's (max_det + 1, 6) host
+    rows -> (detection dicts, prefilter_saturated). Shared by detect()
+    and the serving runtime so the slot layout has one decoder too."""
+    saturated = bool(packed[0, 1] > 0)
+    n = int(packed[0, 0])
+    dets = []
+    for i in range(1, 1 + n):
+        cid = int(packed[i, 5])
+        dets.append({
+            'box': packed[i, :4].astype(int).tolist(),
+            'score': float(packed[i, 4]),
+            'class_id': cid,
+            'class_name': names[cid] if 0 <= cid < len(names)
+            else f'Class {cid}',
+        })
+    return dets, saturated
 
 
 class YOLOCLIPDetector:
@@ -378,27 +403,13 @@ class YOLOCLIPDetector:
                                      jnp.float32(self.conf_threshold),
                                      jnp.float32(self.iou_threshold))
         packed = np.asarray(packed)        # the ONE device->host fetch
-        if packed[0, 1] > 0:
+        detections, saturated = _unpack_detections(packed, names)
+        if saturated:
             logger.warning(
                 'NMS prefilter saturated: more than nms_topk=%d candidates '
                 'above conf %.3g -- detections may be clipped; raise '
                 'config.nms_topk or the confidence threshold',
                 self.config.nms_topk, float(self.conf_threshold))
-        n = int(packed[0, 0])
-        boxes = packed[1:1 + n, :4]
-        scores = packed[1:1 + n, 4]
-        class_ids = packed[1:1 + n, 5].astype(np.int64)
-
-        detections = []
-        for i in range(n):
-            cid = int(class_ids[i])
-            detections.append({
-                'box': boxes[i].astype(int).tolist(),
-                'score': float(scores[i]),
-                'class_id': cid,
-                'class_name': names[cid] if 0 <= cid < len(names)
-                else f'Class {cid}',
-            })
         logger.info('Detection completed in %.3f seconds with %d objects',
                     time.time() - start, len(detections))
         return detections

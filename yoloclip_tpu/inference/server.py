@@ -105,6 +105,11 @@ class DetectionServer:
         self._latencies: List[float] = []
 
         self._closed = False
+        # serializes the closed-check+enqueue in submit() against close()
+        # setting _closed: without it a submitter that passed the check
+        # could enqueue AFTER close() drained the queue, leaving its
+        # Future unresolved forever
+        self._submit_lock = threading.Lock()
         # dispatcher -> completer hand-off; maxsize=2 gives double
         # buffering (assemble k+1 while the device chews k) without
         # letting unfetched device results pile up
@@ -141,15 +146,10 @@ class DetectionServer:
                             conf_threshold, iou_threshold, topk=topk,
                             max_detections=max_det,
                             class_agnostic=agnostic)
-            packed = jnp.concatenate([
-                o['boxes'].astype(jnp.float32),
-                o['scores'][..., None].astype(jnp.float32),
-                o['class_ids'][..., None].astype(jnp.float32)], axis=-1)
-            head = jnp.zeros((packed.shape[0], 1, 6), jnp.float32)
-            head = head.at[:, 0, 0].set(o['count'].astype(jnp.float32))
-            head = head.at[:, 0, 1].set(
-                o['prefilter_saturated'].astype(jnp.float32))
-            return jnp.concatenate([head, packed], axis=1)
+            # slot layout owned by detector._pack_detections (batched via
+            # its leading-dim polymorphism) -- one definition, no drift
+            from yoloclip_tpu.inference.detector import _pack_detections
+            return _pack_detections(o)
 
         if self.mesh is not None:
             # batch rows shard over 'data' (requests are embarrassingly
@@ -188,7 +188,10 @@ class DetectionServer:
         req = _Request(canvas, float(scale),
                        np.asarray([w, h], np.float32),
                        self._vocab[1], fut)
-        self._queue.put(req)
+        with self._submit_lock:      # vs close(): no enqueue after drain
+            if self._closed:
+                raise RuntimeError('DetectionServer is closed')
+            self._queue.put(req)
         return fut
 
     def detect(self, image: Union[str, np.ndarray],
@@ -231,10 +234,11 @@ class DetectionServer:
 
     def close(self, timeout: float = 30.0) -> None:
         """Drain the queue, stop both pipeline threads. Idempotent."""
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(_SENTINEL)
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(_SENTINEL)
         self._dispatcher.join(timeout=timeout)
         self._completer.join(timeout=timeout)
         # fail anything that raced past the closed check after the sentinel
@@ -305,10 +309,13 @@ class DetectionServer:
                 else:
                     for r in reqs:
                         r.names = names
-                    self._inflight.put((packed, reqs))
+                    # batch counters BEFORE the completer can resolve the
+                    # futures: a client waking from future.result() and
+                    # calling stats() must see its own batch counted
                     with self._stats_lock:
                         self._n_batches += 1
                         self._occupancy_sum += n
+                    self._inflight.put((packed, reqs))
             if stop:
                 self._inflight.put(_SENTINEL)
                 return
@@ -333,21 +340,11 @@ class DetectionServer:
                 self._latencies.extend(now - r.t_enq for r in reqs)
                 if len(self._latencies) > 10000:
                     del self._latencies[:-5000]
+            from yoloclip_tpu.inference.detector import _unpack_detections
             for i, r in enumerate(reqs):
-                row = packed[i]
-                if row[0, 1] > 0:
+                dets, saturated = _unpack_detections(packed[i], r.names)
+                if saturated:
                     logger.warning(
                         'NMS prefilter saturated for a request: raise '
                         'config.nms_topk or the confidence threshold')
-                n = int(row[0, 0])
-                dets = []
-                for j in range(1, 1 + n):
-                    cid = int(row[j, 5])
-                    dets.append({
-                        'box': row[j, :4].astype(int).tolist(),
-                        'score': float(row[j, 4]),
-                        'class_id': cid,
-                        'class_name': r.names[cid]
-                        if 0 <= cid < len(r.names) else f'Class {cid}',
-                    })
                 r.future.set_result(dets)

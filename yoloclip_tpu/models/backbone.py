@@ -35,34 +35,36 @@ class YOLOv8Backbone(nn.Module):
         dp = [max(int(d * dm), 1) for d in [1, 2, 4, 8]]
         dt, q = self.dtype, self.quant
 
-        # store_out=True marks edges whose EVERY consumer is QT-aware
-        # (the next ConvBlock / CSP ingress): candidates for int8-stored
-        # HBM edges in the int8 deploy graph. INERT at the default
-        # element threshold -- whole-graph benching measured int8 edges
-        # net-negative on v5e (see layers.STORE_INT8_MIN_ELEMS); the
-        # markers remain for env-gated experimentation. c3/c4 feed the
-        # neck (not QT-aware) -> never storable.
+        # store_out=True marks edges whose EVERY consumer is QT-aware AND
+        # single-consumer: candidates for int8-stored HBM edges in the
+        # int8 deploy graph. INERT at the default element threshold --
+        # whole-graph benching measured int8 edges net-negative on v5e
+        # (see layers.STORE_INT8_MIN_ELEMS); the markers remain for
+        # env-gated experimentation. A conv feeding a CSPLayer is read
+        # TWICE (cv1 + cv2): storing such an edge measured SLOWER e2e --
+        # with two consumers XLA materializes the dequantized tensor as
+        # its own pass instead of fusing the dequant into each reader,
+        # adding a full extra HBM round trip -- so stage{1..4}_conv stay
+        # unmarked; only the csp.cv3 -> next downsample conv edges (one
+        # consumer) and stem -> stage1_conv qualify. c3/c4 feed the neck
+        # (not QT-aware) -> never storable.
         x = ConvBlock(ch[0], 3, 2, dtype=dt, quant=q, store_out=True,
                       name='stem')(x, train)
 
-        # stage1_conv's output is read TWICE (CSP cv1 + cv2): storing it
-        # int8 measured SLOWER e2e -- with two consumers XLA materializes
-        # the dequantized tensor as its own pass instead of fusing the
-        # dequant into each reader, adding a full extra HBM round trip
         x = ConvBlock(ch[1], 3, 2, dtype=dt, quant=q,
                       name='stage1_conv')(x, train)
         x = CSPLayer(ch[1], dp[0], dtype=dt, quant=q, store_out=True,
                      name='stage1_csp')(x, train)
 
-        x = ConvBlock(ch[2], 3, 2, dtype=dt, quant=q, store_out=True,
+        x = ConvBlock(ch[2], 3, 2, dtype=dt, quant=q,
                       name='stage2_conv')(x, train)
         c3 = CSPLayer(ch[2], dp[1], dtype=dt, quant=q, name='stage2_csp')(x, train)
 
-        x = ConvBlock(ch[3], 3, 2, dtype=dt, quant=q, store_out=True,
+        x = ConvBlock(ch[3], 3, 2, dtype=dt, quant=q,
                       name='stage3_conv')(c3, train)
         c4 = CSPLayer(ch[3], dp[2], dtype=dt, quant=q, name='stage3_csp')(x, train)
 
-        x = ConvBlock(ch[4], 3, 2, dtype=dt, quant=q, store_out=True,
+        x = ConvBlock(ch[4], 3, 2, dtype=dt, quant=q,
                       name='stage4_conv')(c4, train)
         x = CSPLayer(ch[4], dp[3], dtype=dt, quant=q, store_out=True,
                      name='stage4_csp')(x, train)

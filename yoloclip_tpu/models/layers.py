@@ -270,10 +270,13 @@ class CSPLayer(nn.Module):
     def __call__(self, x: Union[jax.Array, QT],
                  train: bool = False) -> Union[jax.Array, QT]:
         c_ = self.features // 2
-        # cv1 feeds a DarkBottleneck (QT-aware) -> storable; cv2 feeds
-        # the concat -> float
+        # cv1 feeds a DarkBottleneck whose residual add reads the input a
+        # SECOND time (cin == features here, so the shortcut is always
+        # active) -> double-consumer edge, not storable (same measured
+        # regression class as the stage convs; see backbone.py). cv2
+        # feeds the concat -> float.
         y1 = ConvBlock(c_, 1, dtype=self.dtype, quant=self.quant,
-                       store_out=True, name='cv1')(x, train)
+                       name='cv1')(x, train)
         for i in range(self.n_bottlenecks):
             y1 = DarkBottleneck(c_, True, dtype=self.dtype, quant=self.quant,
                                 name=f'bottlenecks_{i}')(y1, train)
