@@ -241,6 +241,9 @@ def test_http_bad_requests(http_server):
     assert code == 400
     code, payload = _post(http_server + '/vocab', b'{}')
     assert code == 400
+    # empty class list must be rejected (C=0 would poison later batches)
+    code, payload = _post(http_server + '/vocab', b'{"class_names": []}')
+    assert code == 400
     code, _ = _post(http_server + '/nope', b'x')
     assert code == 404
     req = urllib.request.Request(http_server + '/healthz')
