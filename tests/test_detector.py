@@ -120,6 +120,27 @@ def test_detect_batch_matches_single(detector):
         object.__setattr__(det.config, 'host_preprocess', base_hp)
 
 
+def test_detector_prefers_ema_weights(detector, tmp_path):
+    """Loading a training checkpoint that carries an EMA tree must serve
+    the averaged weights, not the raw ones (cfg.ema_decay contract)."""
+    import jax
+    from yoloclip_tpu.inference.detector import YOLOCLIPDetector
+    from yoloclip_tpu.utils.checkpoint import save_checkpoint
+
+    raw = detector.variables
+    ema = jax.tree_util.tree_map(lambda p: np.asarray(p) * 0.5,
+                                 raw['params'])
+    path = str(tmp_path / 'ema_ckpt')
+    save_checkpoint(path, {'params': raw['params'],
+                           'batch_stats': raw.get('batch_stats', {}),
+                           'ema_params': ema})
+    det2 = YOLOCLIPDetector(class_names=['cat'], config=detector.config,
+                            model_path=path)
+    got = jax.tree_util.tree_leaves(det2.variables['params'])[0]
+    want = jax.tree_util.tree_leaves(ema)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
 def test_detector_offline_vocab_roundtrip(detector, tmp_path):
     """set_offline_vocabulary(save_path=...) -> load_offline_vocabulary
     restores the same class set and embedding matrix."""

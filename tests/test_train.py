@@ -183,7 +183,9 @@ def test_trainer_mesh_end_to_end(tiny_coco, tmp_path):
     enc = StubTextEncoder()
 
     def make_trainer(mesh, outdir):
-        cfg = small_cfg(output_dir=outdir, max_epochs=1)
+        # ema_decay on: covers the EMA tree through the sharded donating
+        # step, mesh eval, and checkpoint/restore+re-replication
+        cfg = small_cfg(output_dir=outdir, max_epochs=1, ema_decay=0.9)
         ds = COCODataset(anno, imgs, CLASSES, cfg.model.image_size,
                          mode='train', mosaic_prob=0.0,
                          max_objects=cfg.max_objects, seed=0)
@@ -307,6 +309,106 @@ def test_eval_step_with_nms(state_and_batch):
     assert np.isfinite(float(parts['loss']))
     cids = np.asarray(preds['class_ids'])
     assert ((cids >= -1) & (cids < 8)).all()
+
+
+def test_ema_recurrence_and_eval(state_and_batch):
+    """EMA tree follows the ramped-decay recurrence inside the jitted step
+    and make_eval_step evaluates the EMA weights, not the raw ones."""
+    import math
+
+    from yoloclip_tpu.train.train_state import make_eval_step
+    _, _, batch, text = state_and_batch
+    cfg = small_cfg(ema_decay=0.9, ema_warmup_steps=1)
+    model = YOLOCLIP(cfg.model)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 128, 128, 3)),
+                               jnp.zeros((8, 512)))
+    assert state.ema_params is not None
+    step = jax.jit(make_train_step(cfg))
+    state = set_learning_rate(state, 1e-3)
+    s1, _ = step(state, batch, text)
+    # step 1: d = decay * (1 - exp(-1/warmup)); ema0 = init params
+    d1 = 0.9 * (1 - math.exp(-1.0))
+    want = jax.tree_util.tree_map(
+        lambda e, p: e * d1 + p * (1 - d1), state.params, s1.params)
+    for a, b in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(s1.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    s2, _ = step(s1, batch, text)
+    d2 = 0.9 * (1 - math.exp(-2.0))
+    want2 = jax.tree_util.tree_map(
+        lambda e, p: e * d2 + p * (1 - d2), s1.ema_params, s2.params)
+    for a, b in zip(jax.tree_util.tree_leaves(want2),
+                    jax.tree_util.tree_leaves(s2.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # eval uses the EMA weights: identical to a no-EMA state whose raw
+    # params are the EMA tree, different from the raw-weights eval
+    ev = jax.jit(make_eval_step(cfg))
+    parts_ema, _ = ev(s2, batch, text)
+    parts_swap, _ = ev(s2.replace(params=s2.ema_params, ema_params=None),
+                       batch, text)
+    parts_raw, _ = ev(s2.replace(ema_params=None), batch, text)
+    assert float(parts_ema['loss']) == pytest.approx(
+        float(parts_swap['loss']), rel=1e-6)
+    assert float(parts_ema['loss']) != pytest.approx(
+        float(parts_raw['loss']), rel=1e-6)
+
+    # the trainer's step donates the whole state: the EMA tree must not
+    # alias the param buffers (jnp.asarray init regression -> XLA
+    # "donate the same buffer twice" error on the very first step)
+    fresh = create_train_state(model, cfg, jax.random.PRNGKey(1),
+                               jnp.zeros((1, 128, 128, 3)),
+                               jnp.zeros((8, 512)))
+    step_don = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+    fresh = set_learning_rate(fresh, 1e-3)
+    fresh, _ = step_don(fresh, batch, text)
+    fresh, parts = step_don(fresh, batch, text)
+    assert np.isfinite(float(parts['loss']))
+
+
+def test_ema_checkpoint_roundtrip(tiny_coco, tmp_path):
+    """trainer.save stores both trees; resume restores the EMA; resuming
+    with EMA disabled drops it; a pre-EMA checkpoint seeds EMA from raw."""
+    from yoloclip_tpu.train.trainer import YOLOCLIPTrainer
+    from yoloclip_tpu.utils.checkpoint import load_checkpoint
+
+    enc = StubTextEncoder()
+    cfg = small_cfg(ema_decay=0.9, output_dir=str(tmp_path / 'out'))
+    model = YOLOCLIP(cfg.model)
+    trainer = YOLOCLIPTrainer(model, enc, cfg)
+    # make the EMA tree visibly distinct from the raw weights
+    trainer.state = trainer.state.replace(
+        ema_params=jax.tree_util.tree_map(lambda p: p + 1.0,
+                                          trainer.state.params))
+    path = str(tmp_path / 'ckpt')
+    trainer.save(path)
+    v = load_checkpoint(path)['variables']
+    assert 'ema_params' in v
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(v['ema_params'])[0]),
+        np.asarray(jax.tree_util.tree_leaves(v['params'])[0]) + 1.0)
+
+    t2 = YOLOCLIPTrainer(YOLOCLIP(cfg.model), enc, cfg)
+    t2.load(path)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(t2.state.ema_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(t2.state.params)[0]) + 1.0)
+
+    cfg_off = small_cfg(ema_decay=0.0, output_dir=str(tmp_path / 'out2'))
+    t3 = YOLOCLIPTrainer(YOLOCLIP(cfg_off.model), enc, cfg_off)
+    t3.load(path)
+    assert t3.state.ema_params is None
+
+    # pre-EMA checkpoint -> EMA restarts from the restored raw weights
+    t3.save(str(tmp_path / 'ckpt_noema'))
+    t4 = YOLOCLIPTrainer(YOLOCLIP(cfg.model), enc, cfg)
+    t4.load(str(tmp_path / 'ckpt_noema'))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(t4.state.ema_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(t4.state.params)[0]))
 
 
 def test_train_step_variant_s():

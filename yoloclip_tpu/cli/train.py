@@ -32,6 +32,9 @@ def parse_args(argv: Optional[List[str]] = None):
     p.add_argument('--devices', type=str, default=None,
                    help='Data-parallel device count (default: all)')
     p.add_argument('--text-checkpoint', type=str, default=None)
+    p.add_argument('--ema', type=float, default=None, metavar='DECAY',
+                   help='EMA weight-averaging decay (e.g. 0.9999); eval and '
+                        'best/final checkpoints use the averaged weights')
     p.add_argument('--schedule-units', choices=['epoch', 'step'],
                    default='epoch',
                    help="'epoch' reproduces the reference's per-epoch "
@@ -65,6 +68,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         overrides['learning_rate'] = args.lr
     if args.backbone:
         overrides['backbone_variant'] = args.backbone
+    if args.ema is not None:
+        overrides['ema_decay'] = args.ema
     cfg = load_config(TrainingConfig, args.config, **overrides)
     set_seed(cfg.seed)
 

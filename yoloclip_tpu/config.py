@@ -155,6 +155,13 @@ class TrainingConfig:
     # optimizer
     optimizer_type: str = 'AdamW'
     lr_scheduler_type: str = 'OneCycleLR'
+    # EMA weight averaging (no reference equivalent; standard YOLO-family
+    # production training). 0 disables. When on, the train step keeps an
+    # exponential moving average of params (decay ramped YOLOv8-style:
+    # decay * (1 - exp(-step / ema_warmup_steps))); eval + best/final
+    # checkpoints use the EMA weights, resume restores both trees.
+    ema_decay: float = 0.0
+    ema_warmup_steps: int = 2000
     output_dir: str = 'outputs/'
     seed: int = 42
     # TPU rebuild knobs:

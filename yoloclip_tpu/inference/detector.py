@@ -112,7 +112,14 @@ class YOLOCLIPDetector:
         if variables is not None:
             self.variables = variables
         elif model_path is not None:
-            self.variables = load_checkpoint(model_path)['variables']
+            v = load_checkpoint(model_path)['variables']
+            # training checkpoints with cfg.ema_decay > 0 carry an EMA tree
+            # alongside the raw weights -- serve the averaged weights
+            self.variables = {
+                'params': v['ema_params'] if v.get('ema_params') is not None
+                else v['params'],
+                'batch_stats': v.get('batch_stats', {}),
+            }
         else:
             logger.warning('No checkpoint given: random-init weights '
                            '(shape/latency bring-up mode)')

@@ -34,12 +34,25 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
-    tx: optax.GradientTransformation = struct.field(pytree_node=False)
-    apply_fn: Callable = struct.field(pytree_node=False)
+    # EMA of params (None when cfg.ema_decay == 0); updated inside the
+    # jitted step, used for eval/serving -- see eval_params below
+    ema_params: Any = None
+    tx: optax.GradientTransformation = struct.field(pytree_node=False,
+                                                    default=None)
+    apply_fn: Callable = struct.field(pytree_node=False, default=None)
 
     @property
     def variables(self):
         return {'params': self.params, 'batch_stats': self.batch_stats}
+
+    @property
+    def eval_params(self):
+        """The weights to evaluate/serve: EMA when tracked, else raw."""
+        return self.params if self.ema_params is None else self.ema_params
+
+    @property
+    def eval_variables(self):
+        return {'params': self.eval_params, 'batch_stats': self.batch_stats}
 
 
 def _cos_interp(a: float, b: float, t: jax.Array) -> jax.Array:
@@ -98,11 +111,17 @@ def create_train_state(model, cfg: TrainingConfig, rng: jax.Array,
     variables = model.init(rng, sample_images, sample_text, train=False)
     tx = make_optimizer(cfg)
     params = variables['params']
+    # real copy, not asarray: the EMA tree must not alias the param
+    # buffers (the trainer's jitted step donates the whole state --
+    # aliased leaves would be donated twice)
+    ema = (jax.tree_util.tree_map(jnp.copy, params)
+           if getattr(cfg, 'ema_decay', 0.0) > 0 else None)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=variables.get('batch_stats', {}),
         opt_state=tx.init(params),
+        ema_params=ema,
         tx=tx,
         apply_fn=model.apply,
     )
@@ -116,6 +135,8 @@ def make_train_step(cfg: TrainingConfig):
     zero-padded ragged vocabularies -- reference semantics) or (C,E) shared.
     """
     weights = dict(cfg.loss_weights)
+    ema_decay = getattr(cfg, 'ema_decay', 0.0)
+    ema_warmup = max(float(getattr(cfg, 'ema_warmup_steps', 2000)), 1.0)
     use_clean = cfg.assigner == 'topk_center'
     if use_clean:
         from yoloclip_tpu.train.assign import anchor_points
@@ -149,8 +170,18 @@ def make_train_step(cfg: TrainingConfig):
         updates, new_opt = state.tx.update(grads, state.opt_state,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if ema_decay > 0:
+            # YOLOv8-style ramped decay: early steps average aggressively
+            # (EMA tracks the fast-moving init), converging to ema_decay
+            d = ema_decay * (1 - jnp.exp(
+                -(state.step + 1).astype(jnp.float32) / ema_warmup))
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: (e * d + p.astype(e.dtype) * (1 - d)),
+                state.ema_params, new_params)
         new_state = state.replace(step=state.step + 1, params=new_params,
-                                  batch_stats=new_bs, opt_state=new_opt)
+                                  batch_stats=new_bs, opt_state=new_opt,
+                                  ema_params=new_ema)
         return new_state, parts
 
     return train_step
@@ -168,8 +199,9 @@ def make_eval_step(cfg: TrainingConfig):
     M = cfg.max_objects
 
     def eval_step(state: TrainState, batch: Dict, text_embeddings):
+        # eval_variables: EMA weights when cfg.ema_decay > 0, else raw
         outputs = state.apply_fn(
-            {'params': state.params, 'batch_stats': state.batch_stats},
+            state.eval_variables,
             batch['images'], text_embeddings, train=False)
         total, parts = combined_loss_compat(
             outputs, batch, weights, temperature=cfg.temperature,

@@ -223,7 +223,13 @@ class YOLOCLIPTrainer:
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:
-        save_checkpoint(path, self.state.variables,
+        variables = dict(self.state.variables)
+        if self.state.ema_params is not None:
+            # stored alongside the raw tree: resume restores both, while
+            # inference loaders (detector.py) prefer 'ema_params' so the
+            # best/final checkpoints serve the averaged weights
+            variables['ema_params'] = self.state.ema_params
+        save_checkpoint(path, variables,
                         opt_state=self.state.opt_state,
                         step=int(self.state.step),
                         metadata={'best_map': self.best_map})
@@ -233,8 +239,18 @@ class YOLOCLIPTrainer:
         from yoloclip_tpu.utils.checkpoint import restore_opt_state
         ckpt = load_checkpoint(path)
         v = ckpt['variables']
+        if self.state.ema_params is None:
+            ema = None   # EMA disabled now: a stored tree would go stale
+        else:
+            ema = v.get('ema_params')
+            if ema is None:
+                # resuming with EMA enabled from a pre-EMA checkpoint:
+                # restart the average from the restored raw weights
+                # (jnp.copy: must not alias params -- the step donates state)
+                ema = jax.tree_util.tree_map(jnp.copy, v['params'])
         self.state = self.state.replace(
             params=v['params'], batch_stats=v.get('batch_stats', {}),
+            ema_params=ema,
             opt_state=restore_opt_state(ckpt, self.state.opt_state),
             step=jnp.asarray(ckpt.get('step', 0), jnp.int32))
         meta = ckpt.get('metadata') or {}
