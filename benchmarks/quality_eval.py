@@ -64,7 +64,8 @@ def build_train(args):
                                                 set_learning_rate)
 
     S = args.image_size
-    mcfg = ModelConfig(backbone_variant=args.variant, image_size=(S, S))
+    mcfg = ModelConfig(backbone_variant=args.variant, image_size=(S, S),
+                       dtype=args.train_dtype)
     cfg = TrainingConfig(model=mcfg, max_objects=_max_objects(args),
                          batch_size=args.batch_size,
                          assigner='topk_center', contrastive_type='bce')
@@ -310,6 +311,14 @@ def main():
                     default='max',
                     help='int8 activation-scale scheme: max-abs or '
                          '99.9th-percentile outlier clipping')
+    ap.add_argument('--train-dtype', choices=['float32', 'bfloat16'],
+                    default='float32',
+                    help='compute dtype DURING TRAINING (activations '
+                         'stored for backward; params/optimizer stay '
+                         'fp32). bfloat16 is the config bench_suite '
+                         'config 4/16 measures; eval always runs fp32 so '
+                         'the protocol (incl. the reference cross-check) '
+                         'is unchanged')
     ap.add_argument('--cache-state', default=None, metavar='PATH',
                     help='pickle the trained (params, batch_stats) here; '
                          'if the file exists, skip training and load it '
@@ -345,9 +354,10 @@ def main():
             got = (blob['variant'], blob['image_size'],
                    blob.get('num_classes', 6),
                    tuple(blob.get('objects', (2, 5))),
-                   tuple(blob.get('obj_size', (24, 64))))
+                   tuple(blob.get('obj_size', (24, 64))),
+                   blob.get('train_dtype', 'float32'))
             want = (args.variant, args.image_size, args.num_classes,
-                    args.objects, args.obj_size)
+                    args.objects, args.obj_size, args.train_dtype)
             if got != want:
                 sys.exit(f'--cache-state {args.cache_state} was trained '
                          f'with (variant, image_size, num_classes)={got} '
@@ -371,6 +381,17 @@ def main():
         print(f'training: {args.steps} steps, {args.train_images} images '
               f'@{args.image_size}px, variant {args.variant}', flush=True)
         model, mcfg, state, text = build_train(args)
+        if args.train_dtype != 'float32':
+            # evaluate in fp32 regardless of the training compute dtype:
+            # params/batch_stats are fp32 either way (param_dtype=fp32),
+            # so the eval protocol -- incl. the forced-fp32 reference
+            # cross-check -- stays identical to the fp32-trained runs and
+            # any mAP delta is attributable to TRAINING precision alone
+            import dataclasses
+
+            from yoloclip_tpu.models.yolo_clip import YOLOCLIP
+            mcfg = dataclasses.replace(mcfg, dtype='float32')
+            model = YOLOCLIP(mcfg)
         if args.cache_state:
             import pickle
             with open(args.cache_state, 'wb') as f:
@@ -382,7 +403,8 @@ def main():
                      'image_size': args.image_size,
                      'num_classes': args.num_classes,
                      'objects': args.objects,
-                     'obj_size': args.obj_size}, f)
+                     'obj_size': args.obj_size,
+                     'train_dtype': args.train_dtype}, f)
             print(f'trained state cached: {args.cache_state}', flush=True)
 
     val = make_synth_detection_set(args.val_images, seed=1000,
@@ -397,7 +419,8 @@ def main():
     ours = eval_ours(model, state, val, text, args.conf, args.iou)
     map50, map50_95 = calculate_map(ours, targets)
     result = {'metric': 'synthetic_map50', 'value': round(map50, 4),
-              'map50_95': round(map50_95, 4)}
+              'map50_95': round(map50_95, 4),
+              'train_dtype': args.train_dtype}
 
     if args.int8:
         train_set = make_synth_detection_set(args.train_images, seed=0,

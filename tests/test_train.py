@@ -311,6 +311,94 @@ def test_eval_step_with_nms(state_and_batch):
     assert ((cids >= -1) & (cids < 8)).all()
 
 
+def test_grad_accum_matches_manual(state_and_batch):
+    """grad_accum_steps=2 must equal the hand-computed semantics: two
+    equal micro-batch gradients averaged into one optimizer update, BN
+    stats updated sequentially through the micro-batches.
+
+    The comparison optimizer is plain SGD: first-step Adam is sign-like
+    (lr*g/(sqrt(g^2)+eps)), which amplifies ~1e-6 scan-vs-manual float
+    noise in the gradients to ~lr-sized parameter differences. SGD is
+    linear in the gradient, so the test measures accumulation semantics
+    rather than Adam's noise amplification.
+    """
+    import optax
+
+    from yoloclip_tpu.train.losses import combined_loss_compat
+    cfg, state, batch, text = state_and_batch
+    cfg2 = small_cfg(grad_accum_steps=2)
+    sgd = optax.sgd(1e-2)
+    state = state.replace(tx=sgd, opt_state=sgd.init(state.params))
+    s2, parts2 = jax.jit(make_train_step(cfg2))(state, batch, text)
+    assert int(s2.step) == 1 and np.isfinite(float(parts2['loss']))
+
+    weights = dict(cfg2.loss_weights)
+
+    def half_grad(params, bs, mb, tx):
+        def loss_fn(p):
+            outputs, mutated = state.apply_fn(
+                {'params': p, 'batch_stats': bs}, mb['images'], tx,
+                train=True, mutable=['batch_stats'])
+            total, _ = combined_loss_compat(
+                outputs, mb, weights, temperature=cfg2.temperature,
+                iou_type=cfg2.iou_type,
+                label_smoothing=cfg2.label_smoothing)
+            return total, mutated['batch_stats']
+        (_, new_bs), g = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        return new_bs, g
+
+    mb0 = {k: v[:1] for k, v in batch.items()}
+    mb1 = {k: v[1:] for k, v in batch.items()}
+    bs1, g0 = jax.jit(half_grad)(state.params, state.batch_stats,
+                                 mb0, text[:1])
+    bs2, g1 = jax.jit(half_grad)(state.params, bs1, mb1, text[1:])
+    gavg = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, g0, g1)
+    updates, _ = state.tx.update(gavg, state.opt_state, state.params)
+    want = optax.apply_updates(state.params, updates)
+
+    for a, b in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(bs2),
+                    jax.tree_util.tree_leaves(s2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+    # shared (C, E) vocabulary path through the scan
+    s3, parts3 = jax.jit(make_train_step(cfg2))(state, batch, text[0])
+    assert np.isfinite(float(parts3['loss']))
+
+    # indivisible batch is a loud trace-time error
+    with pytest.raises(ValueError, match='divisible'):
+        jax.jit(make_train_step(small_cfg(grad_accum_steps=3)))(
+            state, batch, text)
+
+
+def test_grad_accum_sharded(state_and_batch):
+    """Accumulation composes with the DP+TP mesh (micro-batch scan over
+    'data'-sharded arrays): same loss as the single-device accum step."""
+    from yoloclip_tpu.parallel.mesh import create_mesh
+    from yoloclip_tpu.parallel.train_step import (make_sharded_train_step,
+                                                  place_batch, place_text,
+                                                  replicate_state)
+    _, state, batch, text = state_and_batch
+    cfg2 = small_cfg(grad_accum_steps=2)
+    _, parts_single = jax.jit(make_train_step(cfg2))(state, batch, text)
+
+    mesh = create_mesh(n_data=2, n_model=2)
+    with mesh:
+        state_r = replicate_state(
+            jax.tree_util.tree_map(jnp.copy, state), mesh)
+        step = make_sharded_train_step(cfg2, mesh)(state_r)
+        b = place_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
+        t = place_text(np.asarray(text), mesh)
+        _, parts_sharded = step(state_r, b, t)
+    assert float(parts_sharded['loss']) == pytest.approx(
+        float(parts_single['loss']), rel=2e-4)
+
+
 def test_ema_recurrence_and_eval(state_and_batch):
     """EMA tree follows the ramped-decay recurrence inside the jitted step
     and make_eval_step evaluates the EMA weights, not the raw ones."""

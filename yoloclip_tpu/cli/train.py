@@ -35,6 +35,10 @@ def parse_args(argv: Optional[List[str]] = None):
     p.add_argument('--ema', type=float, default=None, metavar='DECAY',
                    help='EMA weight-averaging decay (e.g. 0.9999); eval and '
                         'best/final checkpoints use the averaged weights')
+    p.add_argument('--grad-accum', type=int, default=None, metavar='K',
+                   help='split each batch into K micro-batches inside the '
+                        'jitted step (~K-fold lower activation memory; '
+                        'batch_size must divide by K)')
     p.add_argument('--schedule-units', choices=['epoch', 'step'],
                    default='epoch',
                    help="'epoch' reproduces the reference's per-epoch "
@@ -70,6 +74,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         overrides['backbone_variant'] = args.backbone
     if args.ema is not None:
         overrides['ema_decay'] = args.ema
+    if args.grad_accum is not None:
+        overrides['grad_accum_steps'] = args.grad_accum
     cfg = load_config(TrainingConfig, args.config, **overrides)
     set_seed(cfg.seed)
 

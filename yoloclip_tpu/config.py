@@ -162,6 +162,13 @@ class TrainingConfig:
     # checkpoints use the EMA weights, resume restores both trees.
     ema_decay: float = 0.0
     ema_warmup_steps: int = 2000
+    # Gradient accumulation (no reference equivalent). >1 splits each
+    # batch into that many micro-batches inside ONE jitted step
+    # (lax.scan): activation memory drops ~k-fold while the optimizer
+    # still sees the full-batch mean gradient. The TPU memory lever --
+    # remat was measured slower (benchmarks/RESULTS.md); batch_size must
+    # be divisible by it.
+    grad_accum_steps: int = 1
     output_dir: str = 'outputs/'
     seed: int = 42
     # TPU rebuild knobs:

@@ -156,17 +156,66 @@ def make_train_step(cfg: TrainingConfig):
             outputs, batch, weights, temperature=cfg.temperature,
             iou_type=cfg.iou_type, label_smoothing=cfg.label_smoothing)
 
-    def train_step(state: TrainState, batch: Dict, text_embeddings):
+    accum = max(int(getattr(cfg, 'grad_accum_steps', 1)), 1)
+
+    def loss_and_grad(state, params, batch_stats, batch, text_embeddings):
         def loss_fn(params):
             outputs, mutated = state.apply_fn(
-                {'params': params, 'batch_stats': state.batch_stats},
+                {'params': params, 'batch_stats': batch_stats},
                 batch['images'], text_embeddings, train=True,
                 mutable=['batch_stats'])
             total, parts = compute_loss(outputs, batch)
             return total, (parts, mutated['batch_stats'])
 
-        (_, (parts, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        (_, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        return aux, grads
+
+    def accum_loss_and_grad(state, batch, text_embeddings):
+        """lax.scan over `accum` equal micro-batches inside the one jitted
+        step: activations live for one micro-batch at a time, gradients
+        average to the full-batch mean (micro losses are equal-size
+        means), batch_stats update sequentially (standard EMA semantics
+        -- a k-fold smaller effective BN batch, like torch accumulation).
+        """
+        B = batch['images'].shape[0]
+        if B % accum:
+            raise ValueError(f'batch size {B} not divisible by '
+                             f'grad_accum_steps {accum}')
+        b = B // accum
+        micro = {k: v.reshape((accum, b) + v.shape[1:])
+                 for k, v in batch.items()}
+        per_sample_text = text_embeddings.ndim == 3
+        if per_sample_text:
+            xs = (micro, text_embeddings.reshape(
+                (accum, b) + text_embeddings.shape[1:]))
+        else:
+            xs = micro
+
+        def body(carry, xs):
+            bs, gacc = carry
+            mb = xs[0] if per_sample_text else xs
+            tx = xs[1] if per_sample_text else text_embeddings
+            (parts, new_bs), g = loss_and_grad(state, state.params, bs,
+                                               mb, tx)
+            gacc = jax.tree_util.tree_map(jnp.add, gacc, g)
+            return (new_bs, gacc), parts
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (new_bs, gsum), parts_stack = jax.lax.scan(
+            body, (state.batch_stats, zeros), xs)
+        grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+        parts = jax.tree_util.tree_map(lambda x: x.mean(0), parts_stack)
+        return (parts, new_bs), grads
+
+    def train_step(state: TrainState, batch: Dict, text_embeddings):
+        if accum == 1:
+            (parts, new_bs), grads = loss_and_grad(
+                state, state.params, state.batch_stats, batch,
+                text_embeddings)
+        else:
+            (parts, new_bs), grads = accum_loss_and_grad(
+                state, batch, text_embeddings)
         updates, new_opt = state.tx.update(grads, state.opt_state,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)
