@@ -162,6 +162,34 @@ def test_server_mesh_batch_divisibility(detector):
     mesh = create_mesh(n_data=4, n_model=1)
     with pytest.raises(ValueError, match='data'):
         DetectionServer(detector, max_batch=6, mesh=mesh)
+    with pytest.raises(ValueError, match='spatial'):
+        DetectionServer(detector, max_batch=4, spatial=True)
+
+
+def test_server_spatial_mesh(detector, server):
+    """spatial=True: batch over 'data' x frame height over 'model'
+    (parallel/spatial.py recipe inside the serving program) must agree
+    with the single-device server."""
+    from yoloclip_tpu.inference.server import DetectionServer
+    from yoloclip_tpu.parallel.mesh import create_mesh
+    mesh = create_mesh(n_data=2, n_model=2)
+    srv = DetectionServer(detector, max_batch=4, max_delay_ms=50.0,
+                          mesh=mesh, spatial=True)
+    try:
+        imgs = [_img(i + 20, 100 + 7 * i, 140) for i in range(4)]
+        futs = [srv.submit(im) for im in imgs]
+        got = [f.result(timeout=300) for f in futs]
+        want = [server.detect(im, timeout=300) for im in imgs]
+        for g, w in zip(got, want):
+            assert len(g) == len(w)
+            for a, b in zip(g, w):
+                assert a['class_id'] == b['class_id']
+                np.testing.assert_allclose(a['score'], b['score'],
+                                           rtol=1e-4, atol=1e-5)
+                assert np.abs(np.array(a['box'])
+                              - np.array(b['box'])).max() <= 1
+    finally:
+        srv.close()
 
 
 # ---------------------------------------------------------------------------

@@ -164,18 +164,26 @@ def build_server(args) -> 'object':
         detector.quantize_int8(np.stack(batch))
         logger.info('int8 deploy path calibrated on %d images', len(batch))
     mesh = None
+    spatial = max(int(getattr(args, 'spatial', 1) or 1), 1)
     if args.devices:
         import jax
 
         from yoloclip_tpu.parallel.mesh import create_mesh
         n = (len(jax.devices()) if args.devices == 'auto'
              else int(args.devices))
+        if n % spatial:
+            raise SystemExit(f'--spatial {spatial} must divide the device '
+                             f'count ({n})')
         if n > 1:
-            mesh = create_mesh(n_data=n, n_model=1)
-            logger.info('serving over a data-parallel mesh: %s', mesh.shape)
+            mesh = create_mesh(n_data=n // spatial, n_model=spatial)
+            logger.info('serving over a %s mesh%s', dict(mesh.shape),
+                        (' (height axis spatially partitioned '
+                         f'{spatial}-way)') if spatial > 1 else '')
+    elif spatial > 1:
+        raise SystemExit('--spatial needs --devices')
     return DetectionServer(detector, max_batch=args.max_batch,
                            max_delay_ms=args.max_delay_ms,
-                           mesh=mesh), detector
+                           mesh=mesh, spatial=spatial > 1), detector
 
 
 def main(argv=None) -> int:
@@ -198,6 +206,11 @@ def main(argv=None) -> int:
     ap.add_argument('--devices', default=None,
                     help="shard batches over N chips ('auto' = all); "
                          'requests are data-parallel')
+    ap.add_argument('--spatial', type=int, default=1, metavar='M',
+                    help='additionally split each frame\'s HEIGHT M-way '
+                         'over the mesh (latency scaling; XLA inserts the '
+                         'conv halo exchanges). M must divide --devices; '
+                         'batches then shard over devices/M')
     ap.add_argument('--host', default='127.0.0.1')
     ap.add_argument('--port', type=int, default=8000)
     args = ap.parse_args(argv)

@@ -262,12 +262,17 @@ class YOLOCLIPDetector:
 
         return run
 
-    def _build_detect_canvas_fn(self):
+    def _build_detect_canvas_fn(self, canvas_sharding=None):
         """Shape-stable variant: the host letterboxes (native C++/cv2) and
         the device program takes a FIXED (th, tw, 3) uint8 canvas -- one
         compilation serves every input resolution. The device-letterbox
         path (`_detect_fn`) recompiles per unique input shape, which is
         right for fixed-camera serving but wasteful for ad-hoc files.
+
+        canvas_sharding: optional NamedSharding constraint applied to the
+        (1, th, tw, 3) model input -- parallel/spatial.py passes a
+        height-axis sharding here so N chips cooperate on ONE frame
+        (latency scaling); the pipeline definition stays singular.
         """
         model = self.model
         topk = self.config.nms_topk
@@ -279,7 +284,10 @@ class YOLOCLIPDetector:
         def run(variables, canvas_u8, text_embeddings, scale, orig_wh,
                 conf_threshold, iou_threshold):
             canvas = canvas_u8.astype(jnp.float32) / 255.0
-            out = model.apply(variables, canvas[None], text_embeddings,
+            x = canvas[None]
+            if canvas_sharding is not None:
+                x = jax.lax.with_sharding_constraint(x, canvas_sharding)
+            out = model.apply(variables, x, text_embeddings,
                               fused_scores=fused)
             boxes = out['boxes'][0] / scale
             hi = jnp.concatenate([orig_wh, orig_wh]).astype(boxes.dtype)
@@ -291,12 +299,16 @@ class YOLOCLIPDetector:
 
         return run
 
-    def _build_detect_batch_fn(self):
+    def _build_detect_batch_fn(self, canvas_sharding=None):
         """ONE jitted program for the batched throughput path:
         letterbox -> forward -> similarity/decode -> rescale -> batched NMS.
         jax.jit caches a compilation per input (B, H, W) shape, so repeat
         calls at a given batch geometry dispatch a single XLA executable --
-        this is the path bench.py measures (VERDICT r1 weak #3)."""
+        this is the path bench.py measures (VERDICT r1 weak #3).
+
+        canvas_sharding: optional NamedSharding constraint on the
+        (B, th, tw, 3) canvases (parallel/spatial.py: batch over 'data' x
+        height over 'model' for combined throughput + latency scaling)."""
         model = self.model
         target_hw = self.image_size
         topk = self.config.nms_topk
@@ -311,6 +323,9 @@ class YOLOCLIPDetector:
         def run(variables, images, text_embeddings, conf_threshold,
                 iou_threshold):
             canvases, scale = letterbox_batch(images, target_hw)
+            if canvas_sharding is not None:
+                canvases = jax.lax.with_sharding_constraint(
+                    canvases, canvas_sharding)
             out = model.apply(variables, canvases, text_embeddings,
                               fused_scores=fused)
             h, w = images.shape[1], images.shape[2]

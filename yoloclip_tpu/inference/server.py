@@ -75,7 +75,7 @@ class DetectionServer:
     def __init__(self, detector, max_batch: int = 32,
                  max_delay_ms: float = 5.0,
                  queue_capacity: int = 1024,
-                 mesh=None):
+                 mesh=None, spatial: bool = False):
         if detector.offline_vocabulary is None:
             raise ValueError(
                 'DetectionServer needs a detector with an offline '
@@ -87,7 +87,11 @@ class DetectionServer:
             raise ValueError(
                 f"max_batch ({max_batch}) must divide evenly over the "
                 f"mesh's 'data' axis ({mesh.shape['data']})")
+        if spatial and mesh is None:
+            raise ValueError('spatial=True needs a mesh with a "model" '
+                             'axis to shard image height over')
         self.mesh = mesh
+        self.spatial = bool(spatial)
         self.detector = detector
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1000.0
@@ -154,14 +158,19 @@ class DetectionServer:
         if self.mesh is not None:
             # batch rows shard over 'data' (requests are embarrassingly
             # data-parallel); params/text replicate -- same recipe as
-            # inference/streaming.py
+            # inference/streaming.py. spatial=True additionally splits
+            # each frame's HEIGHT over 'model' (GSPMD halo exchange; see
+            # parallel/spatial.py) -- throughput x latency scaling.
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
             repl = NamedSharding(self.mesh, P())
             data1 = NamedSharding(self.mesh, P('data'))
+            canv_sh = (NamedSharding(self.mesh, P('data', 'model',
+                                                  None, None))
+                       if self.spatial else data1)
             return jax.jit(run, in_shardings=(
                 jax.tree_util.tree_map(lambda _: repl, det.variables),
-                data1, repl, data1, data1, repl, repl))
+                canv_sh, repl, data1, data1, repl, repl))
         return jax.jit(run)
 
     # ------------------------------------------------------------------
