@@ -43,14 +43,33 @@ def parse_args(argv: Optional[List[str]] = None):
                    default='epoch',
                    help="'epoch' reproduces the reference's per-epoch "
                         "OneCycle stepping; 'step' is textbook per-step")
+    p.add_argument('--multihost', action='store_true',
+                   help='pod-scale run: one process per host over a global '
+                        'mesh (jax.distributed). On a real TPU pod slice '
+                        'topology auto-detects; for manual bring-up also '
+                        'pass --coordinator/--num-processes/--process-id')
+    p.add_argument('--coordinator', type=str, default=None,
+                   help='host:port of process 0 (multihost manual bring-up)')
+    p.add_argument('--num-processes', type=int, default=None)
+    p.add_argument('--process-id', type=int, default=None)
     return p.parse_args(argv)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
-    logging.basicConfig(level=logging.INFO)
     args = parse_args(argv)
 
+    if args.multihost:
+        # must run before ANY backend-touching JAX call in this process
+        from yoloclip_tpu.parallel.multihost import initialize
+        initialize(coordinator_address=args.coordinator,
+                   num_processes=args.num_processes,
+                   process_id=args.process_id)
+
     import jax
+
+    # one INFO stream per pod (process 0); other hosts log warnings only
+    logging.basicConfig(
+        level=logging.INFO if jax.process_index() == 0 else logging.WARNING)
 
     from yoloclip_tpu.config import TrainingConfig, load_config
     from yoloclip_tpu.data.augment import default_train_transforms
@@ -85,26 +104,54 @@ def main(argv: Optional[List[str]] = None) -> int:
         transform=default_train_transforms(cfg.model.image_size, cfg.seed),
         mode='train', mosaic_prob=cfg.mosaic_prob,
         max_objects=cfg.max_objects, seed=cfg.seed)
-    train_dl = DataLoader(train_ds, cfg.batch_size, shuffle=True,
-                          num_workers=cfg.num_workers, drop_last=True,
-                          seed=cfg.seed)
-    val_dl = None
+    val_ds = None
     if not args.no_eval:
         val_ds = COCODataset(
             cfg.val_anno_path, cfg.val_img_dir, cfg.class_names,
             cfg.model.image_size, mode='val',
             max_objects=cfg.max_objects)
-        val_dl = DataLoader(val_ds, cfg.batch_size, shuffle=False,
-                            num_workers=cfg.num_workers, drop_last=False)
+
+    batch_size = cfg.batch_size   # per-host loader batch (global in cfg)
+    val_drop_last = False
+    if args.multihost:
+        # each host loads a disjoint, equal-length shard of the dataset
+        # and contributes local rows of the GLOBAL batch; equal per-host
+        # batch counts are required (per-batch collectives)
+        from yoloclip_tpu.parallel.multihost import (Subset,
+                                                     local_batch_size,
+                                                     process_local_indices)
+        batch_size = local_batch_size(cfg.batch_size)
+        train_ds = Subset(train_ds,
+                          process_local_indices(len(train_ds), even=True))
+        if val_ds is not None:
+            val_ds = Subset(val_ds,
+                            process_local_indices(len(val_ds), even=True))
+        val_drop_last = True   # eval allgathers per batch: equal geometry
+
+    train_dl = DataLoader(train_ds, batch_size, shuffle=True,
+                          num_workers=cfg.num_workers, drop_last=True,
+                          seed=cfg.seed)
+    val_dl = None
+    if val_ds is not None:
+        val_dl = DataLoader(val_ds, batch_size, shuffle=False,
+                            num_workers=cfg.num_workers,
+                            drop_last=val_drop_last)
 
     mesh = None
     n_dp = int(args.devices) if args.devices else None
+    if args.multihost and n_dp not in (None, len(jax.devices())):
+        # a partial mesh would span only process 0's addressable devices
+        logger.warning('--devices %d ignored under --multihost: the global '
+                       'mesh must cover all %d devices', n_dp,
+                       len(jax.devices()))
+        n_dp = None
     if n_dp is None:
-        n_dp = len(jax.devices())
-    if n_dp > 1:
+        n_dp = len(jax.devices())   # global count after initialize()
+    if n_dp > 1 or args.multihost:
         from yoloclip_tpu.parallel.mesh import create_mesh
         mesh = create_mesh(n_data=n_dp, n_model=1)
-        logger.info('Data-parallel mesh: %s', mesh.shape)
+        logger.info('Data-parallel mesh: %s over %d process(es)',
+                    mesh.shape, jax.process_count())
 
     model = YOLOCLIP(cfg.model)
     text_encoder = CLIPTextEncoder(cfg.model.clip_model, cfg.model.embed_dim,

@@ -108,19 +108,38 @@ class YOLOCLIPTrainer:
         B = len(text_prompts)
         rows = [np.asarray(self.text_encoder(list(p))) for p in text_prompts]
         cmax = _bucket_classes(max(r.shape[0] for r in rows))
+        if self._multihost():
+            # the global text array needs the SAME class bucket on every
+            # host; per-sample vocabularies are ragged, so pin to the full
+            # class-list bucket (an upper bound on any sample's vocab)
+            cmax = _bucket_classes(max(len(self.cfg.class_names), cmax))
         E = rows[0].shape[1]
         out = np.zeros((B, cmax, E), np.float32)
         for i, r in enumerate(rows):
             out[i, :r.shape[0]] = r
         return jnp.asarray(out)
 
+    def _multihost(self) -> bool:
+        return self.mesh is not None and jax.process_count() > 1
+
     def _put_batch(self, batch: Dict) -> Dict:
         arrays = {k: batch[k] for k in
                   ('images', 'boxes', 'class_ids', 'valid_mask')}
+        if self._multihost():
+            # each host contributes its process-local rows of the GLOBAL
+            # batch (parallel/multihost.py data story)
+            from yoloclip_tpu.parallel.multihost import make_global_batch
+            return make_global_batch(arrays, self.mesh)
         if self.mesh is not None:
             from yoloclip_tpu.parallel.mesh import shard_batch
             return shard_batch(arrays, self.mesh)
         return {k: jnp.asarray(v) for k, v in arrays.items()}
+
+    def _put_text(self, text) -> jax.Array:
+        if self._multihost():
+            from yoloclip_tpu.parallel.multihost import make_global_text
+            return make_global_text(text, self.mesh, batched=True)
+        return text
 
     # ------------------------------------------------------------------
     def train_epoch(self, dataloader, epoch: int) -> Dict[str, float]:
@@ -139,7 +158,8 @@ class YOLOCLIPTrainer:
                         self.cfg.learning_rate, total, warm)
                 self.state = set_learning_rate(
                     self.state, self._schedule(int(self.state.step)))
-            text = self._encode_batch_text(batch['text_prompts'])
+            text = self._put_text(self._encode_batch_text(
+                batch['text_prompts']))
             arrays = self._put_batch(batch)
             self.state, parts = self._train_step(self.state, arrays, text)
             n += 1
@@ -152,18 +172,32 @@ class YOLOCLIPTrainer:
         preds_all, targets_all = [], []
         n = 0
         for batch in dataloader:
-            text = self._encode_batch_text(batch['text_prompts'])
+            text = self._put_text(self._encode_batch_text(
+                batch['text_prompts']))
             arrays = self._put_batch(batch)
             parts, preds = self._eval_step(self.state, arrays, text)
             n += 1
             for k in totals:
                 totals[k] += float(parts[k])
-            preds_all.append({k: np.asarray(v) for k, v in preds.items()})
-            targets_all.append({
+            targets = {
                 'boxes': np.asarray(batch['boxes']),
                 'class_ids': np.asarray(batch['class_ids']),
                 'valid_mask': np.asarray(batch['valid_mask']),
-            })
+            }
+            if self._multihost():
+                # preds are 'data'-sharded global arrays (not addressable
+                # cross-process) and each host holds only its own targets:
+                # allgather BOTH so every host computes the same GLOBAL
+                # mAP -- the coordinated best-checkpoint decision below
+                # must not diverge across hosts. Requires equal per-host
+                # batch geometry (use drop_last=True on the val loader).
+                from jax.experimental import multihost_utils
+                preds = multihost_utils.process_allgather(preds, tiled=True)
+                targets = multihost_utils.process_allgather(targets,
+                                                            tiled=True)
+            preds_all.append({k: np.asarray(v) for k, v in preds.items()})
+            targets_all.append(
+                {k: np.asarray(v) for k, v in targets.items()})
         map50, map50_95 = calculate_map(preds_all, targets_all)
         out = {k: v / max(n, 1) for k, v in totals.items()}
         out.update({'mAP50': map50, 'mAP50_95': map50_95})
