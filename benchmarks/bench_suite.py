@@ -229,6 +229,65 @@ def bench_train_step(batch=64, classes=80, max_objects=100):
     emit(f'train_step_bs{batch}_time', dt * 1000, 'ms/step', None)
 
 
+def bench_trainer_loop(batch=64, classes=80, max_objects=100, n_batches=6):
+    """Config 24: the TRAINER epoch loop (train/trainer.py::train_epoch)
+    over device-resident batches -- isolates the host-side loop overhead
+    on top of the pure jitted step (config 6/16): per-step LR injection,
+    text-cache lookups, and metric accumulation. Metrics accumulate ON
+    DEVICE with one fetch per epoch; fetching per step would add a fixed
+    ~30 ms tunnel RTT per metric per step. Batches are pre-placed on
+    device so the number excludes host->device image upload (through the
+    tunnel that upload measures the network, not the TPU; on
+    locally-attached hardware it overlaps with the async dispatch)."""
+    from yoloclip_tpu.config import ModelConfig, TrainingConfig
+    from yoloclip_tpu.models.yolo_clip import YOLOCLIP
+    from yoloclip_tpu.train.trainer import YOLOCLIPTrainer
+
+    mcfg = ModelConfig(backbone_variant='n', image_size=(640, 640),
+                       dtype='bfloat16')
+    names = tuple(f'class {i}' for i in range(classes))
+    cfg = TrainingConfig(model=mcfg, batch_size=batch,
+                         max_objects=max_objects, class_names=names,
+                         max_epochs=4, output_dir='/tmp/bench_trainer')
+
+    class _FixedText:
+        """Stands in for the per-prompt cache hit (encode cost is
+        once-per-process in production; the cache dict lookup remains)."""
+        def __init__(self):
+            self._cache = {}
+
+        def __call__(self, prompts):
+            key = tuple(prompts)
+            if key not in self._cache:
+                rs = np.random.RandomState(len(self._cache))
+                self._cache[key] = rs.randn(len(prompts),
+                                            512).astype(np.float32)
+            return self._cache[key]
+
+    trainer = YOLOCLIPTrainer(YOLOCLIP(mcfg), _FixedText(), cfg,
+                              schedule_units='step')
+    npr = np.random.RandomState(0)
+    batches = []
+    for _ in range(n_batches):
+        batches.append({
+            'images': jnp.asarray(npr.rand(batch, 640, 640, 3),
+                                  jnp.float32),
+            'boxes': jnp.asarray(npr.rand(batch, max_objects, 4) * 640,
+                                 jnp.float32),
+            'class_ids': jnp.asarray(
+                npr.randint(0, classes, (batch, max_objects)), jnp.int32),
+            'valid_mask': jnp.ones((batch, max_objects), bool),
+            'text_prompts': [list(names)] * batch,
+        })
+    trainer.train_epoch(batches, epoch=1)          # compile + cache warm
+    t0 = time.perf_counter()
+    trainer.train_epoch(batches, epoch=2)
+    dt = (time.perf_counter() - t0) / n_batches
+    emit(f'trainer_epoch_bs{batch}_throughput', batch / dt,
+         'images/sec/chip', None)
+    emit(f'trainer_epoch_bs{batch}_step_time', dt * 1000, 'ms/step', None)
+
+
 def bench_peak_throughput(batch=128):
     """Saturation point: same pipeline at large batch. The BASELINE contract
     is bs=32 (config 2); this shows the chip's headroom when serving can
@@ -645,6 +704,11 @@ def main():
         # curve's knee for capacity planning)
         bench_peak_throughput(batch=256)
         bench_int8(batch=256)
+    if '24' in wanted:
+        # trainer LOOP throughput (epoch loop overhead on top of config
+        # 6/16's pure step): device-side metric accumulation keeps the
+        # dispatch pipeline async -- should track config 6 closely
+        bench_trainer_loop()
 
 
 if __name__ == '__main__':

@@ -530,3 +530,41 @@ def test_train_step_variant_s():
         jax.tree_util.tree_map(lambda a, b: a - b, new_state.params,
                                state.params), 0.0)
     assert delta > 0
+
+
+def test_bf16_train_matches_fp32(state_and_batch):
+    """Mixed-precision training (model dtype=bfloat16, cli/train.py
+    --dtype): params/opt-state/EMA stay fp32 and every loss computes in
+    fp32 (train/losses.py casts at each entry), so a few bf16 steps must
+    track the fp32 trajectory closely. This is the benched TPU training
+    configuration (benchmarks/bench_suite.py::bench_train_step)."""
+    _, _, batch, text = state_and_batch
+
+    def run(dtype, n=3):
+        cfg = small_cfg(model=ModelConfig(image_size=(128, 128),
+                                          dtype=dtype),
+                        ema_decay=0.999)
+        model = YOLOCLIP(cfg.model)
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 128, 128, 3)),
+                                   jnp.zeros((8, 512)))
+        step = jax.jit(make_train_step(cfg))
+        losses = []
+        for _ in range(n):
+            state, parts = step(state, batch, text)
+            losses.append(float(parts['loss']))
+        return state, losses
+
+    s32, l32 = run('float32')
+    s16, l16 = run('bfloat16')
+    # master copies never degrade to bf16
+    for tree in (s16.params, s16.ema_params,
+                 jax.tree_util.tree_leaves(s16.opt_state)):
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if hasattr(leaf, 'dtype') and jnp.issubdtype(leaf.dtype,
+                                                         jnp.floating):
+                assert leaf.dtype == jnp.float32
+    for a, b in zip(l32, l16):
+        assert b == pytest.approx(a, rel=0.05), (l32, l16)
+    # both trajectories actually descend
+    assert l16[-1] < l16[0]

@@ -39,6 +39,10 @@ def parse_args(argv: Optional[List[str]] = None):
                    help='split each batch into K micro-batches inside the '
                         'jitted step (~K-fold lower activation memory; '
                         'batch_size must divide by K)')
+    p.add_argument('--dtype', choices=['float32', 'bfloat16'], default=None,
+                   help='model compute dtype (params/optimizer/EMA stay '
+                        'fp32; every loss computes in fp32 -- bfloat16 '
+                        'halves activation HBM traffic on TPU)')
     p.add_argument('--schedule-units', choices=['epoch', 'step'],
                    default='epoch',
                    help="'epoch' reproduces the reference's per-epoch "
@@ -95,6 +99,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         overrides['ema_decay'] = args.ema
     if args.grad_accum is not None:
         overrides['grad_accum_steps'] = args.grad_accum
+    if args.dtype is not None:
+        overrides['dtype'] = args.dtype
     cfg = load_config(TrainingConfig, args.config, **overrides)
     set_seed(cfg.seed)
 

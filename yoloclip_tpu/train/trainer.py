@@ -101,6 +101,10 @@ class YOLOCLIPTrainer:
                                        donate_argnums=(0,))
         self._eval_step = jax.jit(make_eval_step(cfg))
         self.best_map = 0.0
+        # host mirror of state.step (lazy): the step-units LR schedule
+        # needs the counter every step, and reading the device scalar
+        # would sync the async dispatch pipeline each iteration
+        self._host_step: Optional[int] = None
 
     # ------------------------------------------------------------------
     def _encode_batch_text(self, text_prompts: List[List[str]]) -> jax.Array:
@@ -143,9 +147,12 @@ class YOLOCLIPTrainer:
 
     # ------------------------------------------------------------------
     def train_epoch(self, dataloader, epoch: int) -> Dict[str, float]:
-        totals = {'loss': 0.0, 'contrastive_loss': 0.0, 'iou_loss': 0.0,
-                  'dfl_loss': 0.0}
+        keys = ('loss', 'contrastive_loss', 'iou_loss', 'dfl_loss')
         n = 0
+        dev_totals = None   # metrics accumulate ON DEVICE: fetching a
+        # scalar per step would sync the async dispatch pipeline (a fixed
+        # ~30ms RTT per fetch through the remote-TPU tunnel); one fetch
+        # per key per EPOCH instead
         if self.schedule_units == 'epoch':
             self.state = set_learning_rate(self.state,
                                            self._schedule(epoch - 1))
@@ -156,29 +163,38 @@ class YOLOCLIPTrainer:
                     warm = self.cfg.warmup_epochs * len(dataloader)
                     self._schedule = make_onecycle_schedule(
                         self.cfg.learning_rate, total, warm)
+                if self._host_step is None:   # one sync, then host-mirrored
+                    self._host_step = int(self.state.step)
                 self.state = set_learning_rate(
-                    self.state, self._schedule(int(self.state.step)))
+                    self.state, self._schedule(self._host_step))
             text = self._put_text(self._encode_batch_text(
                 batch['text_prompts']))
             arrays = self._put_batch(batch)
             self.state, parts = self._train_step(self.state, arrays, text)
             n += 1
-            for k in totals:
-                totals[k] += float(parts[k])
-        return {k: v / max(n, 1) for k, v in totals.items()}
+            if self._host_step is not None:
+                self._host_step += 1
+            step_parts = {k: parts[k] for k in keys}
+            dev_totals = step_parts if dev_totals is None else {
+                k: dev_totals[k] + step_parts[k] for k in keys}
+        if dev_totals is None:
+            return {k: 0.0 for k in keys}
+        return {k: float(dev_totals[k]) / n for k in keys}
 
     def evaluate(self, dataloader, epoch: int) -> Dict[str, float]:
-        totals = {'loss': 0.0, 'contrastive_loss': 0.0, 'iou_loss': 0.0}
+        keys = ('loss', 'contrastive_loss', 'iou_loss')
         preds_all, targets_all = [], []
         n = 0
+        dev_totals = None   # device-side accumulation, as in train_epoch
         for batch in dataloader:
             text = self._put_text(self._encode_batch_text(
                 batch['text_prompts']))
             arrays = self._put_batch(batch)
             parts, preds = self._eval_step(self.state, arrays, text)
             n += 1
-            for k in totals:
-                totals[k] += float(parts[k])
+            step_parts = {k: parts[k] for k in keys}
+            dev_totals = step_parts if dev_totals is None else {
+                k: dev_totals[k] + step_parts[k] for k in keys}
             targets = {
                 'boxes': np.asarray(batch['boxes']),
                 'class_ids': np.asarray(batch['class_ids']),
@@ -199,7 +215,8 @@ class YOLOCLIPTrainer:
             targets_all.append(
                 {k: np.asarray(v) for k, v in targets.items()})
         map50, map50_95 = calculate_map(preds_all, targets_all)
-        out = {k: v / max(n, 1) for k, v in totals.items()}
+        out = ({k: 0.0 for k in keys} if dev_totals is None
+               else {k: float(dev_totals[k]) / n for k in keys})
         out.update({'mAP50': map50, 'mAP50_95': map50_95})
         return out
 
@@ -289,6 +306,8 @@ class YOLOCLIPTrainer:
             step=jnp.asarray(ckpt.get('step', 0), jnp.int32))
         meta = ckpt.get('metadata') or {}
         self.best_map = meta.get('best_map', 0.0)
+        self._host_step = None   # re-sync the host mirror from the
+        # restored device counter on next use
         if self.mesh is not None:   # restored leaves are host arrays --
             from yoloclip_tpu.parallel.train_step import replicate_state
             self.state = replicate_state(self.state, self.mesh)
