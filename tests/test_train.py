@@ -160,6 +160,11 @@ def test_trainer_end_to_end(tiny_coco, tmp_path):
     assert os.path.isdir(os.path.join(cfg.output_dir, 'final_model'))
     assert os.path.isdir(os.path.join(cfg.output_dir, 'checkpoint_epoch_2'))
 
+    # per-epoch crash-safe history persistence
+    with open(os.path.join(cfg.output_dir, 'history.json')) as f:
+        saved = json.load(f)
+    assert saved == history
+
     # checkpoint round trip
     trainer2 = YOLOCLIPTrainer(YOLOCLIP(cfg.model), enc, cfg)
     trainer2.load(os.path.join(cfg.output_dir, 'final_model'))

@@ -27,6 +27,7 @@ TPU-first redesign:
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 import time
@@ -257,6 +258,7 @@ class YOLOCLIPTrainer:
                                            f'checkpoint_epoch_{epoch}'))
                 for cb in callbacks or []:
                     cb(epoch, train_metrics, val_metrics)
+                self._save_history(history)
             except Exception as e:   # crash checkpoint + env-gated resume
                 logger.exception('Error during training epoch %d: %s',
                                  epoch, e)
@@ -271,6 +273,23 @@ class YOLOCLIPTrainer:
                 continue
         self.save(os.path.join(self.output_dir, 'final_model'))
         return history
+
+    def _save_history(self, history: Dict[str, List[float]]) -> None:
+        """Persist the training-curve history after every epoch.
+
+        The reference only RETURNS the history dict at the end of train()
+        (`/root/reference/yolo_clip_detector/train/trainer.py:371-377,448`),
+        so a crash loses the curves even though the crash checkpoint saves
+        the weights. Writing `history.json` per epoch (atomic rename) makes
+        the curves as crash-safe as the checkpoints.
+        """
+        if jax.process_index() != 0:
+            return   # one writer under multihost; shared-fs safe
+        path = os.path.join(self.output_dir, 'history.json')
+        tmp = path + '.tmp'
+        with open(tmp, 'w') as f:
+            json.dump(history, f, indent=2)
+        os.replace(tmp, path)
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:
