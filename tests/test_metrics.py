@@ -162,3 +162,33 @@ def test_compat_cross_image_batch_matching():
            'class_ids': np.array([0])}]
     ap = _compat_ap_at_iou(fp, ft, 0, 0.5)
     assert ap > 0.9   # matched, even though the GT belongs to another image
+
+
+def test_detections_to_coco_results_roundtrip(tmp_path):
+    """detect()-schema list -> standard COCO results entries (xywh bbox,
+    optional sparse category-id remap) -> JSON file round trip."""
+    import json
+
+    from yoloclip_tpu.utils.metrics import (detections_to_coco_results,
+                                            save_coco_results)
+    dets = [
+        {'box': (10, 20, 50, 80), 'score': 0.9, 'class_id': 0,
+         'class_name': 'cat'},
+        {'box': (0, 0, 5, 5), 'score': 0.4, 'class_id': 2,
+         'class_name': 'bird'},
+    ]
+    rows = detections_to_coco_results(dets, image_id=42,
+                                      category_ids={0: 1, 2: 17})
+    assert rows == [
+        {'image_id': 42, 'category_id': 1, 'bbox': [10.0, 20.0, 40.0, 60.0],
+         'score': 0.9},
+        {'image_id': 42, 'category_id': 17, 'bbox': [0.0, 0.0, 5.0, 5.0],
+         'score': 0.4},
+    ]
+    # identity category map when omitted
+    assert detections_to_coco_results(dets, 0)[1]['category_id'] == 2
+
+    path = str(tmp_path / 'results.json')
+    save_coco_results(path, rows)
+    with open(path) as f:
+        assert json.load(f) == rows

@@ -573,3 +573,24 @@ def test_bf16_train_matches_fp32(state_and_batch):
         assert b == pytest.approx(a, rel=0.05), (l32, l16)
     # both trajectories actually descend
     assert l16[-1] < l16[0]
+
+
+def test_async_checkpoint_save_then_load(state_and_batch, tmp_path):
+    """wait=False returns before orbax finalizes; a subsequent
+    load_checkpoint (and any next save) must serialize behind the
+    in-flight write and see the complete checkpoint."""
+    from yoloclip_tpu.utils.checkpoint import (finish_async_saves,
+                                               load_checkpoint,
+                                               save_checkpoint)
+    _, state, _, _ = state_and_batch
+    p1, p2 = str(tmp_path / 'a'), str(tmp_path / 'b')
+    save_checkpoint(p1, state.variables, step=7, wait=False)
+    save_checkpoint(p2, state.variables, step=8, wait=False)
+    ckpt = load_checkpoint(p1)          # waits for in-flight saves
+    assert ckpt['step'] == 7
+    want = jax.tree_util.tree_leaves(state.variables)
+    got = jax.tree_util.tree_leaves(ckpt['variables'])
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    finish_async_saves()
+    assert load_checkpoint(p2)['step'] == 8

@@ -52,6 +52,10 @@ def parse_args(argv: Optional[List[str]] = None):
                    help='Converted CLIP text-tower weights (.npz/.pt)')
     p.add_argument('--device', type=str, default=None,
                    help='Accepted for reference-CLI compatibility (no-op)')
+    p.add_argument('--coco-json', type=str, default=None,
+                   help='Also write detections as a standard COCO results '
+                        'JSON (image_id from numeric filename stems, else '
+                        'the 0-based input index)')
     return p.parse_args(argv)
 
 
@@ -120,17 +124,28 @@ def main(argv: Optional[List[str]] = None) -> int:
         detector.quantize_int8(calib)
 
     os.makedirs(cfg.output_dir, exist_ok=True)
-    for path in paths:
+    coco_results = []
+    for idx, path in enumerate(paths):
         dets = detector.detect(path, text_prompts=text_prompts)
         logger.info('%s: %d detections', path, len(dets))
         for d in dets:
             logger.info('  %s %.3f %s', d['class_name'], d['score'],
                         d['box'])
+        if args.coco_json:
+            from yoloclip_tpu.utils.metrics import detections_to_coco_results
+            stem = os.path.splitext(os.path.basename(path))[0]
+            image_id = int(stem) if stem.isdigit() else idx
+            coco_results.extend(detections_to_coco_results(dets, image_id))
         drawn = detector.draw_detections(path, dets)
         out_path = os.path.join(cfg.output_dir,
                                 os.path.basename(path))
         _imwrite_rgb(out_path, drawn)
         logger.info('saved %s', out_path)
+    if args.coco_json:
+        from yoloclip_tpu.utils.metrics import save_coco_results
+        save_coco_results(args.coco_json, coco_results)
+        logger.info('wrote %d COCO results entries to %s',
+                    len(coco_results), args.coco_json)
     return 0
 
 

@@ -238,7 +238,12 @@ class YOLOCLIPTrainer:
                     val_metrics = self.evaluate(val_dataloader, epoch)
                     if val_metrics['mAP50_95'] > self.best_map:
                         self.best_map = val_metrics['mAP50_95']
-                        self.save(os.path.join(self.output_dir, 'best_model'))
+                        # mid-training saves are ASYNC: the epoch loop
+                        # overlaps orbax's serialization thread instead of
+                        # stalling (save_checkpoint serializes in-flight
+                        # saves; the final save below waits for all)
+                        self.save(os.path.join(self.output_dir,
+                                               'best_model'), wait=False)
                     history['val_loss'].append(val_metrics['loss'])
                     history['val_mAP50'].append(val_metrics['mAP50'])
                     history['val_mAP50_95'].append(val_metrics['mAP50_95'])
@@ -255,7 +260,8 @@ class YOLOCLIPTrainer:
                     time.time() - t0)
                 if epoch % cfg.save_interval == 0:
                     self.save(os.path.join(self.output_dir,
-                                           f'checkpoint_epoch_{epoch}'))
+                                           f'checkpoint_epoch_{epoch}'),
+                              wait=False)
                 for cb in callbacks or []:
                     cb(epoch, train_metrics, val_metrics)
                 self._save_history(history)
@@ -292,7 +298,7 @@ class YOLOCLIPTrainer:
         os.replace(tmp, path)
 
     # ------------------------------------------------------------------
-    def save(self, path: str) -> None:
+    def save(self, path: str, wait: bool = True) -> None:
         variables = dict(self.state.variables)
         if self.state.ema_params is not None:
             # stored alongside the raw tree: resume restores both, while
@@ -302,8 +308,10 @@ class YOLOCLIPTrainer:
         save_checkpoint(path, variables,
                         opt_state=self.state.opt_state,
                         step=int(self.state.step),
-                        metadata={'best_map': self.best_map})
-        logger.info('Checkpoint saved to %s', path)
+                        metadata={'best_map': self.best_map},
+                        wait=wait)
+        logger.info('Checkpoint save %s to %s',
+                    'complete' if wait else 'running (async)', path)
 
     def load(self, path: str) -> None:
         from yoloclip_tpu.utils.checkpoint import restore_opt_state

@@ -24,9 +24,34 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+_shared_ckptr = None
+
+
+def _checkpointer():
+    """One process-wide StandardCheckpointer so async saves have a single
+    owner to serialize/wait on (orbax allows one in-flight save per
+    checkpointer)."""
+    global _shared_ckptr
+    if _shared_ckptr is None:
+        import orbax.checkpoint as ocp
+        _shared_ckptr = ocp.StandardCheckpointer()
+    return _shared_ckptr
+
+
+def finish_async_saves() -> None:
+    """Block until every in-flight async checkpoint save is durable."""
+    if _shared_ckptr is not None:
+        _shared_ckptr.wait_until_finished()
+
+
 def save_checkpoint(path: str, variables, opt_state=None, step: int = 0,
-                    metadata: Optional[Dict[str, Any]] = None) -> None:
-    import orbax.checkpoint as ocp
+                    metadata: Optional[Dict[str, Any]] = None,
+                    wait: bool = True) -> None:
+    """wait=False returns as soon as the device->host fetch is done and
+    finalizes the checkpoint on orbax's background thread -- training
+    overlaps the (tens of seconds) serialization instead of stalling
+    (call `finish_async_saves()` before exiting). The write is still
+    crash-atomic: orbax renames the tmp dir only on successful finalize."""
     path = os.path.abspath(path)
     os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
     state = {'variables': _to_host(variables), 'step': step}
@@ -37,9 +62,11 @@ def save_checkpoint(path: str, variables, opt_state=None, step: int = 0,
         leaves = jax.tree_util.tree_leaves(opt_state)
         state['opt_leaves'] = {f'{i:04d}': np.asarray(x)
                                for i, x in enumerate(leaves)}
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()   # serialize with any prior async save
     ckptr.save(os.path.join(path, 'state'), state, force=True)
-    ckptr.wait_until_finished()
+    if wait:
+        ckptr.wait_until_finished()
     if metadata:
         with open(os.path.join(path, 'metadata.json'), 'w') as f:
             json.dump(metadata, f)
@@ -65,9 +92,9 @@ def restore_opt_state(ckpt: Dict[str, Any], template):
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
-    import orbax.checkpoint as ocp
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()   # a just-issued async save must land first
     state = ckptr.restore(os.path.join(path, 'state'))
     meta_path = os.path.join(path, 'metadata.json')
     if os.path.exists(meta_path):

@@ -214,6 +214,44 @@ def calculate_map_compat(preds: Sequence[Dict], targets: Sequence[Dict]
     return float(ap50.mean()), float(ap.mean())
 
 
+def detections_to_coco_results(detections: Sequence[Dict], image_id: int,
+                               category_ids: Dict[int, int] | None = None
+                               ) -> List[Dict]:
+    """detect() output -> standard COCO results entries.
+
+    The reference has no results-file export (its detect CLI only draws
+    boxes, `detect.py:109-136`); this emits the ecosystem-standard COCO
+    detection-results format `[{image_id, category_id, bbox [x,y,w,h],
+    score}]` so any external COCO evaluator (pycocotools & co, not
+    installable in this container) can score the detector directly.
+
+    `category_ids` maps the model's contiguous class_id to the dataset's
+    (possibly sparse) category id; identity when omitted.
+    """
+    out = []
+    for d in detections:
+        x1, y1, x2, y2 = (float(v) for v in d['box'])
+        cid = int(d['class_id'])
+        out.append({
+            'image_id': int(image_id),
+            'category_id': (category_ids[cid] if category_ids is not None
+                            else cid),
+            'bbox': [x1, y1, x2 - x1, y2 - y1],
+            'score': float(d['score']),
+        })
+    return out
+
+
+def save_coco_results(path: str, results: Sequence[Dict]) -> None:
+    """Write a COCO results JSON (atomic rename)."""
+    import json
+    import os
+    tmp = path + '.tmp'
+    with open(tmp, 'w') as f:
+        json.dump(list(results), f)
+    os.replace(tmp, path)
+
+
 def calculate_map(predictions: Sequence[Dict], targets: Sequence[Dict],
                   num_classes: int | None = None
                   ) -> Tuple[float, float]:
