@@ -48,12 +48,13 @@ def test_eval_cli_end_to_end(tiny_coco_dir, tmp_path, capsys):
                    'nms_topk: 32\nmax_detections: 8\n')
     out_json = str(tmp_path / 'results.json')
     rc = main(['--anno', anno, '--images', imgs, '--config', str(cfg),
-               '--conf', '-10', '--compat', '--coco-json', out_json,
-               '--limit', '2'])
+               '--conf', '-10', '--compat', '--per-class',
+               '--coco-json', out_json, '--limit', '2'])
     assert rc == 0
     out = capsys.readouterr().out
     assert 'images: 2' in out and 'classes: 2' in out
     assert 'mAP@50:' in out and 'reference-compat evaluator:' in out
+    assert 'cat' in out and '(no ground truth)' in out   # dog has no GT
 
     with open(out_json) as f:
         rows = json.load(f)

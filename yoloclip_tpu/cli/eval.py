@@ -62,6 +62,8 @@ def parse_args(argv: Optional[List[str]] = None):
     p.add_argument('--compat', action='store_true',
                    help='also report the reference evaluator\'s numbers '
                         '(calculate_map_compat)')
+    p.add_argument('--per-class', action='store_true',
+                   help='also print AP@50 / AP@50-95 per class')
     p.add_argument('--coco-json', type=str, default=None,
                    help='write detections as standard COCO results JSON '
                         '(dataset category ids)')
@@ -171,6 +173,19 @@ def main(argv: Optional[List[str]] = None) -> int:
                                     num_classes=len(class_names))
     print(f'images: {len(image_ids)}  classes: {len(class_names)}')
     print(f'mAP@50: {map50:.4f}  mAP@50-95: {map50_95:.4f}')
+    if args.per_class:
+        from yoloclip_tpu.utils.metrics import ap_per_class_at_iou
+        thresholds = np.arange(0.5, 1.0, 0.05)
+        for c, name in enumerate(class_names):
+            per_iou = [ap_per_class_at_iou(preds_all, targets_all, c, t)
+                       for t in thresholds]
+            per_iou = [a for a in per_iou if not np.isnan(a)]
+            if not per_iou:
+                print(f'  {name:24s} (no ground truth)')
+                continue
+            ap50 = ap_per_class_at_iou(preds_all, targets_all, c, 0.5)
+            print(f'  {name:24s} AP@50 {ap50:.4f}  '
+                  f'AP@50-95 {float(np.mean(per_iou)):.4f}')
     if args.compat:
         c50, c50_95 = calculate_map_compat(preds_all, targets_all)
         print(f'reference-compat evaluator: mAP@50 {c50:.4f}  '
