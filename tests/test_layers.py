@@ -97,3 +97,62 @@ def test_multihead_attention_matches_torch():
     got = np.asarray(mha_j.apply(variables, jnp.asarray(q), jnp.asarray(kv),
                                  jnp.asarray(kv)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_s2d_kernel3_exact_vs_strided_conv():
+    """The space-to-depth rewrite of a 3x3/stride-2 conv is exact:
+    conv(x, w3, s=2, pad=1) == conv(s2d(x), s2d_kernel3(w3), s=1,
+    pad=((1,0),(1,0)))."""
+    from yoloclip_tpu.models.layers import s2d_kernel3, space_to_depth2
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 32, 48, 3), jnp.float32)
+    w3 = jnp.asarray(rng.randn(3, 3, 3, 16) * 0.2, jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, w3, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    got = jax.lax.conv_general_dilated(
+        space_to_depth2(x), s2d_kernel3(w3), (1, 1), ((1, 0), (1, 0)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    assert got.shape == ref.shape == (2, 16, 24, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv_block_s2d_matches_plain():
+    """ConvBlock(s2d=True) reuses the canonical (3,3,C,O) params (same
+    tree path 'conv'/'kernel') and produces the plain block's output."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    plain = ConvBlock(16, 3, 2)
+    s2d = ConvBlock(16, 3, 2, s2d=True)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    v2 = s2d.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(v2))
+    a = plain.apply(variables, x)
+    b = s2d.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stem_s2d_composite_parity():
+    """YOLOCLIP(stem_s2d=True) serves a stem_s2d=False checkpoint with
+    identical outputs (the flag is a pure execution-layout choice)."""
+    import dataclasses
+
+    from yoloclip_tpu.config import ModelConfig
+    from yoloclip_tpu.models.yolo_clip import YOLOCLIP
+
+    cfg = ModelConfig(image_size=(64, 64))
+    rng = np.random.RandomState(2)
+    images = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    text = jnp.asarray(rng.randn(4, 512), jnp.float32)
+    text = text / jnp.linalg.norm(text, axis=-1, keepdims=True)
+    model = YOLOCLIP(cfg)
+    variables = model.init(jax.random.PRNGKey(0), images, text)
+    m2 = YOLOCLIP(dataclasses.replace(cfg, stem_s2d=True))
+    out = model.apply(variables, images, text)
+    out2 = m2.apply(variables, images, text)
+    for k in ('boxes', 'scores', 'class_ids'):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(out2[k]),
+                                   rtol=1e-5, atol=1e-5)

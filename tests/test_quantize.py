@@ -359,3 +359,29 @@ def test_build_quant_forward_with_fused_nms():
     det = fwd(images)
     assert det['boxes'].shape == (2, 8, 4)
     assert int(np.asarray(det['count']).sum()) > 0
+
+
+def test_int8_graph_stem_s2d_exact():
+    """The int8 deploy graph's (BN-folded float) stem produces identical
+    output under the space-to-depth execution layout: same quantized
+    variables, stem_s2d on vs off."""
+    import dataclasses
+
+    from yoloclip_tpu.config import ModelConfig
+    from yoloclip_tpu.models.yolo_clip import YOLOCLIP
+    from yoloclip_tpu.ops.quantize import quantize_model
+
+    cfg = ModelConfig(image_size=(64, 64))
+    rng = np.random.RandomState(3)
+    images = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    text = jnp.asarray(rng.randn(4, 512), jnp.float32)
+    text = text / jnp.linalg.norm(text, axis=-1, keepdims=True)
+    model = YOLOCLIP(cfg)
+    variables = model.init(jax.random.PRNGKey(0), images, text)
+    qmodel, qvars = quantize_model(cfg, variables, [(images, text)])
+    qmodel_s2d = YOLOCLIP(dataclasses.replace(qmodel.cfg, stem_s2d=True))
+    a = qmodel.apply(qvars, images, text)
+    b = qmodel_s2d.apply(qvars, images, text)
+    for k in ('boxes', 'scores', 'class_ids'):
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=1e-5, atol=1e-5)

@@ -59,6 +59,10 @@ class ModelConfig:
     dtype: str = 'float32'         # compute dtype: 'float32' | 'bfloat16'
     quant: str = 'none'   # conv path: 'none'|'calib'|'calib_pct'|'int8'
                                    # (W8A8 deploy mode, ops/quantize.py)
+    stem_s2d: bool = False         # run the stem as an exact 2x2/s1 conv
+                                   # over the space-to-depth layout
+                                   # (models/layers.py::s2d_kernel3);
+                                   # checkpoint-compatible either way
 
     def backbone_channels(self) -> List[int]:
         """Per-stage channel widths. Ref `model/backbones/yolov8.py:124-125`."""

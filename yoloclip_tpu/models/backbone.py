@@ -24,6 +24,7 @@ class YOLOv8Backbone(nn.Module):
     variant: str = 'n'
     dtype: Any = jnp.float32
     quant: str = 'none'
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
@@ -49,7 +50,7 @@ class YOLOv8Backbone(nn.Module):
         # consumer) and stem -> stage1_conv qualify. c3/c4 feed the neck
         # (not QT-aware) -> never storable.
         x = ConvBlock(ch[0], 3, 2, dtype=dt, quant=q, store_out=True,
-                      name='stem')(x, train)
+                      s2d=self.stem_s2d, name='stem')(x, train)
 
         x = ConvBlock(ch[1], 3, 2, dtype=dt, quant=q,
                       name='stage1_conv')(x, train)

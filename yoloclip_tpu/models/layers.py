@@ -85,6 +85,51 @@ def quant_eligible(kernel_size: int, cin: int, cout: int) -> bool:
             and max(cin, cout) >= INT8_MAX_CH)
 
 
+def space_to_depth2(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C); channel index = (a*2+b)*C + c
+    for intra-block offsets (a, b). H and W must be even."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H // 2, W // 2, 4 * C)
+
+
+def s2d_kernel3(w3: jax.Array) -> jax.Array:
+    """Rearrange a 3x3/stride-2 conv kernel into the EXACT equivalent
+    2x2/stride-1 kernel over the space-to-depth input layout.
+
+    For output (i, j): input row r = 2i + di - 1 (di in 0..2) lives in s2d
+    row p = i - 1 + kh with intra-block offset a, where
+    (di=0 -> kh=0, a=1), (di=1 -> kh=1, a=0), (di=2 -> kh=1, a=1); columns
+    likewise. 7 of the 16 (kh, kw, a, b) taps are structurally zero. Use
+    with padding ((1, 0), (1, 0)) to reproduce the 3x3 conv's
+    padding=(1, 1) semantics.
+    """
+    kh_a = {0: (0, 1), 1: (1, 0), 2: (1, 1)}
+    _, _, C, O = w3.shape
+    w2 = jnp.zeros((2, 2, 4 * C, O), w3.dtype)
+    for di in range(3):
+        kh, a = kh_a[di]
+        for dj in range(3):
+            kw, b = kh_a[dj]
+            ch = (a * 2 + b) * C
+            w2 = w2.at[kh, kw, ch:ch + C].set(w3[di, dj])
+    return w2
+
+
+class _ConvKernel(nn.Module):
+    """Bare conv kernel param in nn.Conv's tree layout ('conv'/'kernel'),
+    for paths that must transform the kernel before lax.conv (the s2d
+    stem) while staying checkpoint-compatible with nn.Conv."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param('kernel', nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
 class ConvBlock(nn.Module):
     """Conv(bias=False) + BatchNorm + SiLU.
 
@@ -116,6 +161,15 @@ class ConvBlock(nn.Module):
     # site: only blocks whose consumers are ConvBlocks (which dequantize
     # on read) or QT-aware set this -- see models/backbone.py.
     store_out: bool = False
+    # Space-to-depth execution of a 3x3/stride-2 conv (the backbone stem):
+    # the conv runs as an EXACT 2x2/stride-1 conv over the (H/2, W/2, 4C)
+    # layout, turning an MXU-hostile C=3 contraction into a 12-channel
+    # one (s2d_kernel3). Params keep the canonical (3,3,C,O) shape, so
+    # checkpoints are interchangeable with the plain stem.
+    s2d: bool = False
+
+    def _use_s2d(self, k: int) -> bool:
+        return self.s2d and k == 3 and self.stride == 2
 
     def _store(self, y: jax.Array) -> Union[jax.Array, QT]:
         """int8 deploy egress: quantize+store when eligible (see QT)."""
@@ -141,12 +195,20 @@ class ConvBlock(nn.Module):
                                 (k, k, cin, self.features), jnp.float32)
                 fbias = self.param('fbias', nn.initializers.zeros,
                                    (self.features,), jnp.float32)
-                y = jax.lax.conv_general_dilated(
-                    as_float(x, self.dtype).astype(self.dtype),
-                    wf.astype(self.dtype),
-                    (self.stride, self.stride), ((p, p), (p, p)),
-                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-                    preferred_element_type=jnp.float32)
+                xf = as_float(x, self.dtype).astype(self.dtype)
+                if self._use_s2d(k):
+                    y = jax.lax.conv_general_dilated(
+                        space_to_depth2(xf),
+                        s2d_kernel3(wf.astype(self.dtype)),
+                        (1, 1), ((1, 0), (1, 0)),
+                        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                        preferred_element_type=jnp.float32)
+                else:
+                    y = jax.lax.conv_general_dilated(
+                        xf, wf.astype(self.dtype),
+                        (self.stride, self.stride), ((p, p), (p, p)),
+                        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                        preferred_element_type=jnp.float32)
                 return self._store(nn.silu(y + fbias))
             wq = self.param('wq', nn.initializers.zeros,
                             (k, k, cin, self.features), jnp.int8)
@@ -187,16 +249,27 @@ class ConvBlock(nn.Module):
                          jnp.quantile(ax, 0.999).astype(jnp.float32),
                          reduce_fn=jnp.maximum,
                          init_fn=lambda: jnp.zeros((), jnp.float32))
-        x = nn.Conv(
-            self.features,
-            (self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=((p, p), (p, p)),
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name='conv',
-        )(x)
+        if self._use_s2d(self.kernel_size):
+            cin = x.shape[-1]
+            kernel = _ConvKernel(
+                (self.kernel_size, self.kernel_size, cin, self.features),
+                name='conv')()
+            x = jax.lax.conv_general_dilated(
+                space_to_depth2(x.astype(self.dtype)),
+                s2d_kernel3(kernel.astype(self.dtype)),
+                (1, 1), ((1, 0), (1, 0)),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=((p, p), (p, p)),
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name='conv',
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,        # torch BatchNorm2d momentum=0.1 equivalent

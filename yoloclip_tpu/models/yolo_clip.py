@@ -70,6 +70,7 @@ class YOLOCLIP(nn.Module):
                                           (B,) + class_mask.shape)
 
         feats = YOLOv8Backbone(cfg.backbone_variant, dtype=dt, quant=cfg.quant,
+                               stem_s2d=cfg.stem_s2d,
                                name='backbone')(images.astype(dt), train)
 
         fc = tuple(cfg.feature_channels())
