@@ -62,7 +62,7 @@ def wait_for_backend(deadline_s: float) -> None:
 
 
 def build(batch_size: int, num_classes: int, image_size: int, dtype: str,
-          variant: str = 'n'):
+          variant: str = 'n', stem_s2d: bool = False):
     from yoloclip_tpu.config import (COCO_CLASS_NAMES, InferenceConfig,
                                      ModelConfig)
     from yoloclip_tpu.inference.detector import YOLOCLIPDetector
@@ -73,7 +73,8 @@ def build(batch_size: int, num_classes: int, image_size: int, dtype: str,
         names = [f'class {i}' for i in range(num_classes)]
     cfg = InferenceConfig(
         model=ModelConfig(backbone_variant=variant,
-                          image_size=(image_size, image_size), dtype=dtype),
+                          image_size=(image_size, image_size), dtype=dtype,
+                          stem_s2d=stem_s2d),
         class_names=tuple(names),
         conf_threshold=0.25, iou_threshold=0.45,
         nms_topk=1024, max_detections=300)
@@ -101,6 +102,9 @@ def main():
     ap.add_argument('--int8', action='store_true',
                     help='(default) measure the W8A8 quantized serving path '
                          '(ops/quantize.py; quality numbers in RESULTS.md)')
+    ap.add_argument('--stem-s2d', action='store_true',
+                    help='run the backbone stem in the space-to-depth '
+                         'layout (exact; A/B knob)')
     ap.add_argument('--backend-wait', type=float, default=3600.0,
                     help='max seconds to wait for the (shared, occasionally '
                          'stalled) TPU pool before starting; 0 disables. '
@@ -113,7 +117,8 @@ def main():
     wait_for_backend(args.backend_wait)
 
     detector, images = build(args.batch_size, args.classes, args.image_size,
-                             args.dtype, args.variant)
+                             args.dtype, args.variant,
+                             stem_s2d=args.stem_s2d)
     if use_int8:
         detector.quantize_int8(images[:8])
 
