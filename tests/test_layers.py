@@ -156,3 +156,26 @@ def test_stem_s2d_composite_parity():
     for k in ('boxes', 'scores', 'class_ids'):
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(out2[k]),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_conv_block_s2d_gradients_match():
+    """The s2d execution layout is a linear re-indexing: parameter
+    gradients through ConvBlock(s2d=True) equal the plain block's (so
+    the flag is safe in TRAINING graphs too, not just serving)."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32)
+    plain = ConvBlock(16, 3, 2)
+    s2d = ConvBlock(16, 3, 2, s2d=True)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+
+    def loss(params, model):
+        y = model.apply({'params': params,
+                         'batch_stats': variables['batch_stats']}, x)
+        return jnp.sum(y * y)
+
+    g1 = jax.grad(loss)(variables['params'], plain)
+    g2 = jax.grad(loss)(variables['params'], s2d)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
