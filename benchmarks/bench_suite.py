@@ -434,6 +434,51 @@ def bench_int8(batch=32, classes=80, variant='n'):
          'images/sec/chip', 400)
 
 
+def bench_stem_s2d(batch=32, classes=80):
+    """Config 23: space-to-depth stem A/B (ModelConfig.stem_s2d).
+
+    The bf16 (config 2) and int8-serve (config 10) pipelines with the
+    backbone stem executed as the exact 2x2/s1 conv over the s2d layout
+    (models/layers.py::s2d_kernel3); compare against those configs'
+    baselines from the SAME session (shared-pool variance is +-5-10%)."""
+    import dataclasses
+
+    from yoloclip_tpu.config import ModelConfig
+    from yoloclip_tpu.models.yolo_clip import YOLOCLIP
+    from yoloclip_tpu.ops.nms import batched_nms
+    from yoloclip_tpu.ops.quantize import quantize_model
+
+    model, variables, text = _model(num_classes=classes)
+    s2d_model = YOLOCLIP(dataclasses.replace(model.cfg, stem_s2d=True))
+    images = jax.random.uniform(jax.random.PRNGKey(1),
+                                (batch, 640, 640, 3), jnp.float32)
+    fused = jax.default_backend() == 'tpu'
+
+    @jax.jit
+    def pipeline(variables, images, text):
+        out = s2d_model.apply(variables, images, text, fused_scores=fused)
+        return batched_nms(out['boxes'], out['scores'], out['class_ids'],
+                           0.25, 0.45, topk=1024, max_detections=300)
+
+    dt = _throughput_time(pipeline, variables, images, text)
+    emit(f'stem_s2d_bf16_bs{batch}_throughput', batch / dt,
+         'images/sec/chip', 400)
+
+    cfg = ModelConfig(backbone_variant='n', image_size=(640, 640),
+                      dtype='bfloat16', stem_s2d=True)
+    qmodel, qvars = quantize_model(cfg, variables, [(images[:8], text)])
+
+    @jax.jit
+    def qpipeline(qvars, images, text):
+        out = qmodel.apply(qvars, images, text, fused_scores=fused)
+        return batched_nms(out['boxes'], out['scores'], out['class_ids'],
+                           0.25, 0.45, topk=1024, max_detections=300)
+
+    dt = _throughput_time(qpipeline, qvars, images, text)
+    emit(f'stem_s2d_int8_bs{batch}_throughput', batch / dt,
+         'images/sec/chip', 400)
+
+
 def bench_vocab_swap(batch=32, classes=80, n_vocabs=8, image_size=640):
     """Config 21: online vocabulary hot-swap. The reference re-encodes the
     CLIP text tower inside EVERY forward (`model/yolo_clip.py:130-165`);
@@ -698,6 +743,10 @@ def main():
         bench_vocab_swap()
     if '22' in wanted:
         bench_serving()
+    if '23' in wanted:
+        # space-to-depth stem A/B (pair with configs 2 and 10 in the
+        # same session)
+        bench_stem_s2d()
     if '23' in wanted:
         # deeper saturation probe: does bs=128 -> bs=256 still pay?
         # (bs=128 already amortizes most fixed traffic; this bounds the
