@@ -747,7 +747,7 @@ def main():
         # space-to-depth stem A/B (pair with configs 2 and 10 in the
         # same session)
         bench_stem_s2d()
-    if '23' in wanted:
+    if '25' in wanted:
         # deeper saturation probe: does bs=128 -> bs=256 still pay?
         # (bs=128 already amortizes most fixed traffic; this bounds the
         # curve's knee for capacity planning)
