@@ -153,3 +153,37 @@ def test_detector_offline_vocab_roundtrip(detector, tmp_path):
     assert det.class_names == names
     np.testing.assert_allclose(np.asarray(det.offline_vocabulary),
                                vocab_before, rtol=1e-5, atol=1e-6)
+
+
+def test_detect_batch_stem_u8_s2d_matches_plain():
+    """detector with cfg.model.stem_u8_s2d serves the SAME weights through
+    the uint8-s2d letterbox + folded stem and produces the plain
+    detector's detections (identity-resize inputs: the relayout is
+    byte-exact, only the kernel /255 fold reassociates)."""
+    import dataclasses
+
+    from yoloclip_tpu.inference.detector import YOLOCLIPDetector
+
+    base = InferenceConfig(
+        model=ModelConfig(image_size=(160, 160)),
+        conf_threshold=-10.0, nms_topk=64, max_detections=16)
+    names = ['cat', 'dog']
+    d_plain = YOLOCLIPDetector(class_names=names, config=base)
+    d_pre = YOLOCLIPDetector(class_names=names, config=dataclasses.replace(
+        base, model=dataclasses.replace(base.model, stem_u8_s2d=True)))
+    imgs = (np.random.RandomState(3).rand(2, 160, 160, 3) * 255
+            ).astype(np.uint8)
+    a = d_plain.detect_batch(imgs)
+    b = d_pre.detect_batch(imgs)
+    assert (np.asarray(a['count']) == np.asarray(b['count'])).all()
+    np.testing.assert_allclose(np.asarray(a['boxes']),
+                               np.asarray(b['boxes']),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(a['scores']),
+                               np.asarray(b['scores']), atol=1e-4)
+
+    # the int8 deploy swap keeps working under the layout flag (the
+    # calibration canvases run the same u8-s2d graph)
+    d_pre.quantize_int8(imgs)
+    q = d_pre.detect_batch(imgs)
+    assert np.asarray(q['count']).shape == (2,)

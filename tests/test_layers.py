@@ -179,3 +179,35 @@ def test_conv_block_s2d_gradients_match():
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_conv_block_s2d_pre_u8_matches_plain():
+    """ConvBlock(s2d_pre=True) consumes the uint8-scaled space-to-depth
+    canvas with /255 folded into the kernel at apply time: same canonical
+    (3,3,C,O) params (tree-identical checkpoints), same output as the
+    plain block fed x/255."""
+    from yoloclip_tpu.models.layers import space_to_depth2
+    rng = np.random.RandomState(5)
+    xu8 = rng.randint(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    x = jnp.asarray(xu8, jnp.float32) / 255.0
+    xs = space_to_depth2(jnp.asarray(xu8))
+    assert xs.dtype == jnp.uint8
+    plain = ConvBlock(16, 3, 2)
+    pre = ConvBlock(16, 3, 2, s2d_pre=True)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    v2 = pre.init(jax.random.PRNGKey(0), xs)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(v2))
+    a = plain.apply(variables, x)
+    b = pre.apply(variables, xs)
+    assert a.shape == b.shape == (2, 32, 32, 16)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_conv_block_s2d_pre_rejects_s2d_combo():
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.rand(1, 16, 16, 12), jnp.float32)
+    bad = ConvBlock(16, 3, 2, s2d=True, s2d_pre=True)
+    with pytest.raises(ValueError):
+        bad.init(jax.random.PRNGKey(0), x)

@@ -312,3 +312,57 @@ def test_letterbox_identity_skip_matches_resize_path():
     np.testing.assert_allclose(np.asarray(c2[:48]),
                                wide.astype(np.float32) / 255.0, atol=1e-7)
     assert float(jnp.abs(c2[48:]).max()) == 0.0
+
+
+def _un_s2d(c: np.ndarray) -> np.ndarray:
+    """Inverse of preprocess._s2d for test verification."""
+    B, Hh, Wh, C4 = c.shape
+    C = C4 // 4
+    x = c.reshape(B, Hh, Wh, 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, Hh * 2, Wh * 2, C)
+
+
+def test_letterbox_batch_u8_s2d_identity_is_pure_relayout():
+    """At target resolution the u8-s2d letterbox is an exact byte
+    relayout of the input (no resize, no rounding), and un-s2d'ing it
+    recovers the float letterbox times 255 exactly."""
+    from yoloclip_tpu.ops.preprocess import (letterbox_batch,
+                                             letterbox_batch_u8_s2d)
+    rng = np.random.RandomState(7)
+    imgs = rng.randint(0, 256, (2, 96, 96, 3)).astype(np.uint8)
+    c, s = letterbox_batch_u8_s2d(jnp.asarray(imgs), (96, 96))
+    assert c.dtype == jnp.uint8 and c.shape == (2, 48, 48, 12)
+    assert float(s) == 1.0
+    und = _un_s2d(np.asarray(c))
+    np.testing.assert_array_equal(und, imgs)
+    f, s2 = letterbox_batch(jnp.asarray(imgs), (96, 96))
+    np.testing.assert_allclose(und.astype(np.float32),
+                               np.asarray(f) * 255.0, atol=1e-3)
+
+
+def test_letterbox_batch_u8_s2d_resize_rounds_like_cv2():
+    """The resize path rounds the fp32 bilinear result to uint8 (the
+    reference's cv2.resize operates on uint8 frames, so this is the
+    MORE reference-faithful semantics) and pastes top-left."""
+    from yoloclip_tpu.ops.preprocess import (letterbox_batch,
+                                             letterbox_batch_u8_s2d,
+                                             letterbox_u8_s2d)
+    rng = np.random.RandomState(8)
+    wide = rng.randint(0, 256, (1, 48, 128, 3)).astype(np.uint8)
+    # scale = min(96/48, 96/128) = 0.75 -> a REAL bilinear resize to 36x96
+    cw, sw = letterbox_batch_u8_s2d(jnp.asarray(wide), (96, 96))
+    fw, sf = letterbox_batch(jnp.asarray(wide), (96, 96))
+    assert float(sw) == float(sf) == 0.75
+    undw = _un_s2d(np.asarray(cw)).astype(np.float32)
+    want = np.round(np.asarray(fw, np.float64) * 255.0)
+    # fp32 *255/255 round-trip can wobble a half-integer by 1 ulp
+    assert (np.abs(undw - want) <= 1.0).all()
+    # and the bulk of pixels round to the identical integer (scale 0.75
+    # produces many exact half-integer bilinear values, where the fp32
+    # *255/255 round-trip legitimately wobbles the tie by 1)
+    assert (undw == want).mean() > 0.95
+    # content lands top-left: rows 36+ of the canvas are the zero pad
+    assert (undw[:, 36:, :, :] == 0).all()
+    # single-image variant agrees with the batch one
+    c1, s1 = letterbox_u8_s2d(jnp.asarray(wide[0]), (96, 96))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(cw[0]))

@@ -385,3 +385,37 @@ def test_int8_graph_stem_s2d_exact():
     for k in ('boxes', 'scores', 'class_ids'):
         np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_int8_graph_stem_u8_s2d_exact():
+    """The int8 deploy graph under the uint8 space-to-depth input layout
+    (cfg.stem_u8_s2d) matches the plain-layout int8 graph on the same
+    quantized variables: the stem's /255 fold and 2x2/s1 rewrite are
+    exact up to fp32 kernel-fold rounding."""
+    import dataclasses
+
+    from yoloclip_tpu.config import ModelConfig
+    from yoloclip_tpu.models.layers import space_to_depth2
+    from yoloclip_tpu.models.yolo_clip import YOLOCLIP
+    from yoloclip_tpu.ops.quantize import quantize_model
+
+    cfg = ModelConfig(image_size=(64, 64))
+    rng = np.random.RandomState(9)
+    xu8 = rng.randint(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    images = jnp.asarray(xu8, jnp.float32) / 255.0
+    xs2d = space_to_depth2(jnp.asarray(xu8))
+    text = jnp.asarray(rng.randn(4, 512), jnp.float32)
+    text = text / jnp.linalg.norm(text, axis=-1, keepdims=True)
+    model = YOLOCLIP(cfg)
+    variables = model.init(jax.random.PRNGKey(0), images, text)
+    qmodel, qvars = quantize_model(cfg, variables, [(images, text)])
+    qmodel_pre = YOLOCLIP(dataclasses.replace(qmodel.cfg, stem_u8_s2d=True))
+    a = qmodel.apply(qvars, images, text)
+    b = qmodel_pre.apply(qvars, xs2d, text)
+    np.testing.assert_allclose(np.asarray(a['boxes']),
+                               np.asarray(b['boxes']),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a['scores']),
+                               np.asarray(b['scores']),
+                               rtol=1e-4, atol=1e-5)
+    assert (np.asarray(a['class_ids']) == np.asarray(b['class_ids'])).all()

@@ -63,6 +63,13 @@ class ModelConfig:
                                    # over the space-to-depth layout
                                    # (models/layers.py::s2d_kernel3);
                                    # checkpoint-compatible either way
+    stem_u8_s2d: bool = False      # serve-only: the model input is the
+                                   # uint8-scaled s2d canvas from
+                                   # letterbox_batch_u8_s2d and the stem
+                                   # folds /255 into its kernel -- the
+                                   # measured-winning stem layout
+                                   # (probe_stem.py); checkpoints stay
+                                   # interchangeable
 
     def backbone_channels(self) -> List[int]:
         """Per-stage channel widths. Ref `model/backbones/yolov8.py:124-125`."""

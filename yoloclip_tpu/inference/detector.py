@@ -123,7 +123,11 @@ class YOLOCLIPDetector:
         else:
             logger.warning('No checkpoint given: random-init weights '
                            '(shape/latency bring-up mode)')
-            dummy_img = jnp.zeros((1,) + self.image_size + (3,))
+            if getattr(self.model_cfg, 'stem_u8_s2d', False):
+                th, tw = self.image_size
+                dummy_img = jnp.zeros((1, th // 2, tw // 2, 12), jnp.uint8)
+            else:
+                dummy_img = jnp.zeros((1,) + self.image_size + (3,))
             dummy_txt = jnp.zeros((len(self.class_names) or 80,
                                    self.model_cfg.embed_dim))
             self.variables = self.model.init(
@@ -165,7 +169,8 @@ class YOLOCLIPDetector:
         import dataclasses
 
         from yoloclip_tpu.models.yolo_clip import YOLOCLIP
-        from yoloclip_tpu.ops.preprocess import letterbox_batch
+        from yoloclip_tpu.ops.preprocess import (letterbox_batch,
+                                                 letterbox_batch_u8_s2d)
         from yoloclip_tpu.ops.quantize import quantize_model
 
         if self.quantized:
@@ -176,7 +181,12 @@ class YOLOCLIPDetector:
         imgs = jnp.asarray(np.asarray(calib_images))
         if imgs.ndim == 3:
             imgs = imgs[None]
-        canvases, _ = letterbox_batch(imgs, self.image_size)
+        if getattr(self.model_cfg, 'stem_u8_s2d', False):
+            # calibration must run the SAME input layout the deploy
+            # graph will see (scales are sown from the traced graph)
+            canvases, _ = letterbox_batch_u8_s2d(imgs, self.image_size)
+        else:
+            canvases, _ = letterbox_batch(imgs, self.image_size)
         if self.offline_vocabulary is not None:
             text = self.offline_vocabulary
         elif self.class_names:
@@ -248,10 +258,16 @@ class YOLOCLIPDetector:
         fused = self._use_fused_similarity()
         agnostic = getattr(self.config, 'class_agnostic_nms', True)
 
+        u8_s2d = getattr(self.model_cfg, 'stem_u8_s2d', False)
+        from yoloclip_tpu.ops.preprocess import letterbox_u8_s2d
+
         @functools.partial(jax.jit, static_argnames=('orig_hw',))
         def run(variables, image, text_embeddings, orig_hw,
                 conf_threshold, iou_threshold):
-            canvas, scale = letterbox(image, target_hw)
+            if u8_s2d:
+                canvas, scale = letterbox_u8_s2d(image, target_hw)
+            else:
+                canvas, scale = letterbox(image, target_hw)
             out = model.apply(variables, canvas[None], text_embeddings,
                               fused_scores=fused)
             boxes = rescale_boxes(out['boxes'][0], scale, orig_hw)
@@ -280,11 +296,17 @@ class YOLOCLIPDetector:
         fused = self._use_fused_similarity()
         agnostic = getattr(self.config, 'class_agnostic_nms', True)
 
+        u8_s2d = getattr(self.model_cfg, 'stem_u8_s2d', False)
+        from yoloclip_tpu.ops.preprocess import _s2d
+
         @jax.jit
         def run(variables, canvas_u8, text_embeddings, scale, orig_wh,
                 conf_threshold, iou_threshold):
-            canvas = canvas_u8.astype(jnp.float32) / 255.0
-            x = canvas[None]
+            if u8_s2d:
+                # 1-byte relayout; the stem consumes 0..255 directly
+                x = _s2d(canvas_u8)[None]
+            else:
+                x = (canvas_u8.astype(jnp.float32) / 255.0)[None]
             if canvas_sharding is not None:
                 x = jax.lax.with_sharding_constraint(x, canvas_sharding)
             out = model.apply(variables, x, text_embeddings,
@@ -317,12 +339,17 @@ class YOLOCLIPDetector:
         agnostic = getattr(self.config, 'class_agnostic_nms', True)
 
         from yoloclip_tpu.ops.nms import batched_nms
-        from yoloclip_tpu.ops.preprocess import letterbox_batch
+        from yoloclip_tpu.ops.preprocess import (letterbox_batch,
+                                                 letterbox_batch_u8_s2d)
+        u8_s2d = getattr(self.model_cfg, 'stem_u8_s2d', False)
 
         @jax.jit
         def run(variables, images, text_embeddings, conf_threshold,
                 iou_threshold):
-            canvases, scale = letterbox_batch(images, target_hw)
+            if u8_s2d:
+                canvases, scale = letterbox_batch_u8_s2d(images, target_hw)
+            else:
+                canvases, scale = letterbox_batch(images, target_hw)
             if canvas_sharding is not None:
                 canvases = jax.lax.with_sharding_constraint(
                     canvases, canvas_sharding)

@@ -25,6 +25,10 @@ class YOLOv8Backbone(nn.Module):
     dtype: Any = jnp.float32
     quant: str = 'none'
     stem_s2d: bool = False
+    # serve-only input layout: x is the uint8-scaled (B, H/2, W/2, 12)
+    # space-to-depth canvas from letterbox_batch_u8_s2d; the stem folds
+    # the /255 into its kernel (ConvBlock.s2d_pre)
+    stem_u8_s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
@@ -50,7 +54,8 @@ class YOLOv8Backbone(nn.Module):
         # consumer) and stem -> stage1_conv qualify. c3/c4 feed the neck
         # (not QT-aware) -> never storable.
         x = ConvBlock(ch[0], 3, 2, dtype=dt, quant=q, store_out=True,
-                      s2d=self.stem_s2d, name='stem')(x, train)
+                      s2d=self.stem_s2d, s2d_pre=self.stem_u8_s2d,
+                      name='stem')(x, train)
 
         x = ConvBlock(ch[1], 3, 2, dtype=dt, quant=q,
                       name='stage1_conv')(x, train)

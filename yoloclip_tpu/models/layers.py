@@ -167,9 +167,20 @@ class ConvBlock(nn.Module):
     # one (s2d_kernel3). Params keep the canonical (3,3,C,O) shape, so
     # checkpoints are interchangeable with the plain stem.
     s2d: bool = False
+    # Input arrives ALREADY space-to-depth'd as a 0..255-scaled uint8
+    # canvas (B, H/2, W/2, 4C) -- the device letterbox emits this layout
+    # for free (`ops/preprocess.py::letterbox_batch_u8_s2d`) -- and the
+    # /255 normalization folds into the kernel. Measured the only stem
+    # layout that beats the plain 3x3/s2 conv on v5e (probe_stem.py:
+    # 2.52 vs 3.09 ms/batch; the 1-byte HBM read + a 12-channel MXU
+    # contraction). Params keep the canonical (3,3,C,O) shape.
+    s2d_pre: bool = False
 
     def _use_s2d(self, k: int) -> bool:
         return self.s2d and k == 3 and self.stride == 2
+
+    def _use_s2d_pre(self, k: int) -> bool:
+        return self.s2d_pre and k == 3 and self.stride == 2
 
     def _store(self, y: jax.Array) -> Union[jax.Array, QT]:
         """int8 deploy egress: quantize+store when eligible (see QT)."""
@@ -187,16 +198,29 @@ class ConvBlock(nn.Module):
     def __call__(self, x: Union[jax.Array, QT],
                  train: bool = False) -> Union[jax.Array, QT]:
         p = self.kernel_size // 2
+        if self.s2d and self.s2d_pre:
+            raise ValueError('s2d and s2d_pre are mutually exclusive')
         if self.quant == 'int8':
             cin = (x.q if isinstance(x, QT) else x).shape[-1]
             k = self.kernel_size
+            if self._use_s2d_pre(k):
+                cin = cin // 4   # params stay canonical (3, 3, C, O)
             if not quant_eligible(k, cin, self.features):
                 wf = self.param('wf', nn.initializers.zeros,
                                 (k, k, cin, self.features), jnp.float32)
                 fbias = self.param('fbias', nn.initializers.zeros,
                                    (self.features,), jnp.float32)
                 xf = as_float(x, self.dtype).astype(self.dtype)
-                if self._use_s2d(k):
+                if self._use_s2d_pre(k):
+                    # uint8-scaled s2d input: fold the /255 into the
+                    # (BN-pre-folded) kernel, fp32 fold then one cast
+                    y = jax.lax.conv_general_dilated(
+                        xf,
+                        s2d_kernel3((wf * (1.0 / 255.0)).astype(self.dtype)),
+                        (1, 1), ((1, 0), (1, 0)),
+                        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                        preferred_element_type=jnp.float32)
+                elif self._use_s2d(k):
                     y = jax.lax.conv_general_dilated(
                         space_to_depth2(xf),
                         s2d_kernel3(wf.astype(self.dtype)),
@@ -249,7 +273,16 @@ class ConvBlock(nn.Module):
                          jnp.quantile(ax, 0.999).astype(jnp.float32),
                          reduce_fn=jnp.maximum,
                          init_fn=lambda: jnp.zeros((), jnp.float32))
-        if self._use_s2d(self.kernel_size):
+        if self._use_s2d_pre(self.kernel_size):
+            kernel = _ConvKernel(
+                (self.kernel_size, self.kernel_size, x.shape[-1] // 4,
+                 self.features), name='conv')()
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                s2d_kernel3((kernel * (1.0 / 255.0)).astype(self.dtype)),
+                (1, 1), ((1, 0), (1, 0)),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        elif self._use_s2d(self.kernel_size):
             cin = x.shape[-1]
             kernel = _ConvKernel(
                 (self.kernel_size, self.kernel_size, cin, self.features),

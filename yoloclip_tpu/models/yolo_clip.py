@@ -71,6 +71,7 @@ class YOLOCLIP(nn.Module):
 
         feats = YOLOv8Backbone(cfg.backbone_variant, dtype=dt, quant=cfg.quant,
                                stem_s2d=cfg.stem_s2d,
+                               stem_u8_s2d=cfg.stem_u8_s2d,
                                name='backbone')(images.astype(dt), train)
 
         fc = tuple(cfg.feature_channels())

@@ -128,6 +128,67 @@ def letterbox_batch(images: jax.Array, target_hw: Tuple[int, int] = (640, 640)
     return canvas / 255.0, jnp.float32(scale)
 
 
+def _s2d(x: jax.Array) -> jax.Array:
+    """(..., H, W, C) -> (..., H/2, W/2, 4C); channel = (a*2+b)*C + c for
+    intra-block offsets (a, b) -- matches models/layers.py::space_to_depth2
+    and the s2d_kernel3 tap layout."""
+    *lead, H, W, C = x.shape
+    x = x.reshape(*lead, H // 2, 2, W // 2, 2, C)
+    perm = list(range(len(lead))) + [len(lead) + i for i in (0, 2, 1, 3, 4)]
+    x = x.transpose(*perm)
+    return x.reshape(*lead, H // 2, W // 2, 4 * C)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def letterbox_batch_u8_s2d(images: jax.Array,
+                           target_hw: Tuple[int, int] = (640, 640)
+                           ) -> Tuple[jax.Array, jax.Array]:
+    """(B, H, W, 3) -> (uint8 (B, th/2, tw/2, 12) s2d canvas, scale).
+
+    The serve-path letterbox in the measured-winning stem layout
+    (`benchmarks/probe_stem.py`: 1-byte HBM canvas + space-to-depth gives
+    the stem conv an MXU-usable 12-channel contraction, -18% stem cost on
+    v5e). The canvas stays 0..255 -- the stem folds /255 into its kernel
+    (`models/layers.py::ConvBlock.s2d_pre`). When a real resize happens,
+    the fp32 bilinear result is ROUNDED to uint8, which is what the
+    reference's cv2.resize does on uint8 frames anyway (cv2 resizes in
+    the input dtype, ref `inference/detector.py:119-161`); the identity
+    path is a pure byte relayout.
+    """
+    B, h, w, C = images.shape
+    th, tw = target_hw
+    scale = min(th / h, tw / w)
+    rh, rw = int(h * scale), int(w * scale)
+    if (rh, rw) == (h, w):
+        resized = images.astype(jnp.uint8)
+    else:
+        Rh = jnp.asarray(_bilinear_matrix(h, rh))
+        Rw = jnp.asarray(_bilinear_matrix(w, rw))
+        x = images.astype(jnp.float32).reshape(B, h, w * C)
+        t = jnp.einsum('oh,bhx->box', Rh, x,
+                       preferred_element_type=jnp.float32)
+        t = t.reshape(B, rh, w, C).transpose(0, 1, 3, 2)
+        r = jnp.einsum('pw,bycw->bycp', Rw, t,
+                       preferred_element_type=jnp.float32)
+        resized = jnp.clip(jnp.round(r.transpose(0, 1, 3, 2)),
+                           0, 255).astype(jnp.uint8)
+    if (rh, rw) == (th, tw):
+        return _s2d(resized), jnp.float32(scale)
+    canvas = jnp.zeros((B, th, tw, C), jnp.uint8)
+    canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, 0, 0, 0))
+    return _s2d(canvas), jnp.float32(scale)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def letterbox_u8_s2d(image: jax.Array,
+                     target_hw: Tuple[int, int] = (640, 640)
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Single-image variant of `letterbox_batch_u8_s2d`:
+    (H, W, 3) -> (uint8 (th/2, tw/2, 12), scale)."""
+    canvas, scale = letterbox_batch_u8_s2d(image[None], target_hw)
+    return canvas[0], scale
+
+
 def rescale_boxes(boxes: jax.Array, scale: jax.Array,
                   orig_hw: Tuple[int, int]) -> jax.Array:
     """Letterboxed-pixel xyxy -> original-image xyxy with boundary clip.
