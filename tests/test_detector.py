@@ -182,8 +182,17 @@ def test_detect_batch_stem_u8_s2d_matches_plain():
     np.testing.assert_allclose(np.asarray(a['scores']),
                                np.asarray(b['scores']), atol=1e-4)
 
-    # the int8 deploy swap keeps working under the layout flag (the
-    # calibration canvases run the same u8-s2d graph)
+    # the int8 deploy swap keeps working under the layout flag, and the
+    # quantized u8-s2d detector matches the quantized PLAIN detector
+    # detection-for-detection (the calibration canvases run the same
+    # u8-s2d graph, so a calibration-layout regression would show here)
+    d_plain.quantize_int8(imgs)
     d_pre.quantize_int8(imgs)
-    q = d_pre.detect_batch(imgs)
-    assert np.asarray(q['count']).shape == (2,)
+    qa = d_plain.detect_batch(imgs)
+    qb = d_pre.detect_batch(imgs)
+    assert (np.asarray(qa['count']) == np.asarray(qb['count'])).all()
+    np.testing.assert_allclose(np.asarray(qa['boxes']),
+                               np.asarray(qb['boxes']),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(qa['scores']),
+                               np.asarray(qb['scores']), atol=1e-3)

@@ -211,3 +211,15 @@ def test_conv_block_s2d_pre_rejects_s2d_combo():
     bad = ConvBlock(16, 3, 2, s2d=True, s2d_pre=True)
     with pytest.raises(ValueError):
         bad.init(jax.random.PRNGKey(0), x)
+
+
+def test_conv_block_s2d_rejects_non_3x3_s2():
+    """s2d/s2d_pre on a block the rewrite cannot apply to must raise,
+    not silently fall through to a plain conv on the wrong layout."""
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.rand(1, 16, 16, 12), jnp.float32)
+    for kw in (dict(s2d_pre=True), dict(s2d=True)):
+        with pytest.raises(ValueError):
+            ConvBlock(16, 1, 2, **kw).init(jax.random.PRNGKey(0), x)
+        with pytest.raises(ValueError):
+            ConvBlock(16, 3, 1, **kw).init(jax.random.PRNGKey(0), x)

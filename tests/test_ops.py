@@ -366,3 +366,18 @@ def test_letterbox_batch_u8_s2d_resize_rounds_like_cv2():
     # single-image variant agrees with the batch one
     c1, s1 = letterbox_u8_s2d(jnp.asarray(wide[0]), (96, 96))
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(cw[0]))
+
+
+def test_letterbox_batch_u8_s2d_float_identity_rounds():
+    """Float inputs through the identity (no-resize) path round+clip to
+    uint8 instead of truncating/wrapping (advisor r3): 254.6 -> 255,
+    -3.0 -> 0, 300.0 -> 255."""
+    from yoloclip_tpu.ops.preprocess import letterbox_batch_u8_s2d
+    img = np.zeros((1, 4, 4, 3), np.float32)
+    img[0, 0, 0] = [254.6, -3.0, 300.0]
+    img[0, 1, 1] = [0.4, 0.6, 128.5]
+    c, s = letterbox_batch_u8_s2d(jnp.asarray(img), (4, 4))
+    und = _un_s2d(np.asarray(c))
+    assert float(s) == 1.0
+    np.testing.assert_array_equal(und[0, 0, 0], [255, 0, 255])
+    np.testing.assert_array_equal(und[0, 1, 1], [0, 1, 128])

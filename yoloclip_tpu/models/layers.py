@@ -200,6 +200,16 @@ class ConvBlock(nn.Module):
         p = self.kernel_size // 2
         if self.s2d and self.s2d_pre:
             raise ValueError('s2d and s2d_pre are mutually exclusive')
+        if self.s2d_pre and not self._use_s2d_pre(self.kernel_size):
+            # silently running a plain conv over the 0..255 s2d canvas
+            # (no /255 fold, wrong layout) would be wrong math
+            raise ValueError(
+                's2d_pre requires kernel_size=3, stride=2 (got k=%d, s=%d)'
+                % (self.kernel_size, self.stride))
+        if self.s2d and not self._use_s2d(self.kernel_size):
+            raise ValueError(
+                's2d requires kernel_size=3, stride=2 (got k=%d, s=%d)'
+                % (self.kernel_size, self.stride))
         if self.quant == 'int8':
             cin = (x.q if isinstance(x, QT) else x).shape[-1]
             k = self.kernel_size
@@ -234,6 +244,11 @@ class ConvBlock(nn.Module):
                         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
                         preferred_element_type=jnp.float32)
                 return self._store(nn.silu(y + fbias))
+            # the wq path has no s2d rewrite; it is only unreachable for
+            # the stem because cin=3 fails quant_eligible -- keep that
+            # invariant explicit against future threshold changes
+            assert not (self._use_s2d_pre(k) or self._use_s2d(k)), (
+                's2d/s2d_pre blocks must not take the int8 wq path')
             wq = self.param('wq', nn.initializers.zeros,
                             (k, k, cin, self.features), jnp.int8)
             wscale = self.param('wscale', nn.initializers.ones,

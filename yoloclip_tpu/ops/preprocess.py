@@ -160,7 +160,13 @@ def letterbox_batch_u8_s2d(images: jax.Array,
     scale = min(th / h, tw / w)
     rh, rw = int(h * scale), int(w * scale)
     if (rh, rw) == (h, w):
-        resized = images.astype(jnp.uint8)
+        if images.dtype == jnp.uint8:
+            resized = images
+        else:
+            # float inputs: round + clip to [0, 255] (mirroring the
+            # resize path) -- a bare uint8 cast would truncate and wrap
+            resized = jnp.clip(jnp.round(images.astype(jnp.float32)),
+                               0, 255).astype(jnp.uint8)
     else:
         Rh = jnp.asarray(_bilinear_matrix(h, rh))
         Rw = jnp.asarray(_bilinear_matrix(w, rw))
