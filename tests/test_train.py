@@ -33,14 +33,17 @@ def test_onecycle_schedule_shape():
     sched = make_onecycle_schedule(1e-3, total_steps=100, warmup_steps=10,
                                    div_factor=25, final_div_factor=1e4)
     lr0 = float(sched(0))
-    lr_peak = float(sched(10))
-    lr_end = float(sched(100))
+    # torch-exact boundaries: peak at warmup_steps-1, final at total-1
+    # (counts beyond clamp to the final lr)
+    lr_peak = float(sched(9))
+    lr_end = float(sched(99))
     assert lr0 == pytest.approx(1e-3 / 25, rel=1e-4)
     assert lr_peak == pytest.approx(1e-3, rel=1e-4)
     assert lr_end == pytest.approx(1e-3 / 25 / 1e4, rel=1e-3)
+    assert float(sched(150)) == pytest.approx(lr_end, rel=1e-6)
     # monotone up then down
-    ups = [float(sched(i)) for i in range(11)]
-    downs = [float(sched(i)) for i in range(10, 101, 10)]
+    ups = [float(sched(i)) for i in range(10)]
+    downs = [float(sched(i)) for i in range(9, 100, 10)]
     assert all(a <= b + 1e-12 for a, b in zip(ups, ups[1:]))
     assert all(a >= b - 1e-12 for a, b in zip(downs, downs[1:]))
 

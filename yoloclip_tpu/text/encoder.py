@@ -51,12 +51,32 @@ class CLIPTextEncoder:
                 f'Only ViT-B/32 text tower is implemented (got {model_name})')
         self.embed_dim = embed_dim
         self.tokenizer = tokenizer or default_tokenizer()
-        self.model = CLIPTextTransformer(
-            output_dim=embed_dim,
-            dtype=jnp.bfloat16 if dtype == 'bfloat16' else jnp.float32)
+        cdtype = jnp.bfloat16 if dtype == 'bfloat16' else jnp.float32
 
         if params is None and checkpoint_path is not None:
             params = load_text_tower_params(checkpoint_path)
+        if params is not None:
+            # Architecture follows the CHECKPOINT (vocab/width/context/
+            # depth from param shapes, heads = width/64 per the OpenAI
+            # family), so miniature fixtures and future tower sizes load
+            # without code changes. output_dim must match the detector's
+            # embed_dim -- that is the contract with the vision side.
+            vocab_size, width = np.shape(params['token_embedding'])
+            out_dim = int(np.shape(params['text_projection'])[1])
+            if out_dim != embed_dim:
+                raise ValueError(
+                    f'text checkpoint projects to {out_dim}-d but the '
+                    f'model expects embed_dim={embed_dim}')
+            self.model = CLIPTextTransformer(
+                vocab_size=int(vocab_size), width=int(width),
+                context_length=int(np.shape(
+                    params['positional_embedding'])[0]),
+                layers=sum(1 for k in params if k.startswith('resblocks_')),
+                heads=max(int(width) // 64, 1),
+                output_dim=embed_dim, dtype=cdtype)
+        else:
+            self.model = CLIPTextTransformer(output_dim=embed_dim,
+                                             dtype=cdtype)
         self.random_init = params is None
         if params is None:
             # Random init: correct shapes/architecture for bring-up; real

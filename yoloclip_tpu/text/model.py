@@ -91,13 +91,27 @@ class CLIPTextTransformer(nn.Module):
 
 
 def convert_openai_state_dict(state_dict: Dict[str, Any],
-                              layers: int = 12) -> Dict[str, Any]:
+                              layers: int = None) -> Dict[str, Any]:
     """torch CLIP text-tower state_dict -> flax param tree for this module.
 
     Accepts numpy arrays or anything with `.numpy()`/`__array__` (torch
     tensors). Key layout follows the public OpenAI checkpoint
-    (`transformer.resblocks.{i}.attn.in_proj_weight`, etc.).
+    (`transformer.resblocks.{i}.attn.in_proj_weight`, etc.); full-model
+    dumps work too (`visual.*`/`logit_scale` keys are simply not read).
+    `layers=None` infers the depth from the resblock keys, so truncated /
+    miniature checkpoints in the same layout convert as well
+    (tests/test_text.py::test_openai_checkpoint_chain_end_to_end).
     """
+    if layers is None:
+        layers = 0
+        while (f'transformer.resblocks.{layers}.ln_1.weight'
+               in state_dict):
+            layers += 1
+        if layers == 0:
+            raise KeyError(
+                'no transformer.resblocks.*.ln_1.weight keys found -- not '
+                'an OpenAI CLIP text-tower state_dict')
+
     def a(key):
         v = state_dict[key]
         if hasattr(v, 'detach'):

@@ -164,8 +164,12 @@ class CLIPTokenizer:
             if path is not None:
                 with gzip.open(path, 'rt', encoding='utf-8') as f:
                     lines = f.read().split('\n')
-                # standard file layout: header line, then merge pairs
-                merges = [tuple(m.split()) for m in lines[1:N_MERGES + 1]]
+                # standard file layout: header line, then merge pairs.
+                # Truncated fixtures leave trailing blank lines -- drop
+                # anything that isn't a pair.
+                merges = [m for m in
+                          (tuple(ln.split()) for ln in lines[1:N_MERGES + 1])
+                          if len(m) == 2]
             else:
                 merges = []
         self.merges = list(merges)

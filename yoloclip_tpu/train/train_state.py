@@ -6,9 +6,10 @@ and `run_train.py:161-177`: AdamW(lr, weight_decay) + OneCycleLR
 final_div_factor=1e4, cosine anneal on both phases). The reference steps the
 scheduler ONCE PER EPOCH (`train/trainer.py:387-388` -- OneCycleLR is
 per-step by design; SURVEY §3.2 quirk). Here the learning rate is an
-injected hyperparameter: the trainer evaluates the schedule in epoch units
-(compat) or step units (clean) on the host and writes it into opt_state, so
-both cadences share one jitted step.
+injected hyperparameter: the trainer builds the reference's step-unit
+curve and evaluates it at epoch counts (compat, reproducing the quirk) or
+step counts (clean) on the host and writes it into opt_state, so both
+cadences share one jitted step.
 
 TPU-first: the whole forward/backward/update is one jitted program; for
 multi-chip, params/opt_state are replicated and the batch is sharded over
@@ -64,18 +65,27 @@ def make_onecycle_schedule(base_lr: float, total_steps: int,
                            warmup_steps: int,
                            div_factor: float = 25.0,
                            final_div_factor: float = 1e4):
-    """torch OneCycleLR equivalent: cosine lr/div -> lr over the warmup,
-    then cosine lr -> (lr/div)/final_div over the rest."""
-    total_steps = max(total_steps, 2)
-    warm = max(warmup_steps, 1)
+    """`torch.optim.lr_scheduler.OneCycleLR` oracle-exact (the reference's
+    scheduler, `run_train.py:169-177`: anneal_strategy='cos',
+    three_phase=False, pct_start=warmup_steps/total_steps).
+
+    sched(count) == torch's lr after `count` scheduler steps, i.e. the lr
+    the optimizer uses for 0-indexed step `count`. Torch's phase boundary
+    sits at pct_start*total_steps - 1 == warmup_steps - 1 (lr peaks THERE,
+    not at warmup_steps) and the final lr lands exactly on step
+    total_steps - 1; counts beyond that clamp to the final lr (torch
+    raises instead). Value-compared against torch over full runs in
+    tests/test_optim_reference.py."""
+    last = float(max(int(total_steps), 1) - 1)
+    boundary = float(warmup_steps) - 1.0    # torch: pct_start*total - 1
     init = base_lr / div_factor
     final = init / final_div_factor
 
     def sched(count):
-        count = jnp.asarray(count, jnp.float32)
-        t_up = jnp.clip(count / warm, 0, 1)
-        t_dn = jnp.clip((count - warm) / max(total_steps - warm, 1), 0, 1)
-        return jnp.where(count < warm,
+        count = jnp.clip(jnp.asarray(count, jnp.float32), 0.0, last)
+        t_up = count / jnp.maximum(boundary, 1e-12)
+        t_dn = (count - boundary) / jnp.maximum(last - boundary, 1e-12)
+        return jnp.where(count <= boundary,
                          _cos_interp(init, base_lr, t_up),
                          _cos_interp(base_lr, final, t_dn))
 

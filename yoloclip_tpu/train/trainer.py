@@ -78,14 +78,16 @@ class YOLOCLIPTrainer:
             state = create_train_state(model, cfg, rng, sample_img, sample_txt)
         self.state = state
 
-        # compat: schedule in epoch units stepped per epoch (ref quirk);
-        # 'step' gives the textbook per-step OneCycle.
+        # The schedule is ALWAYS the reference's OneCycleLR curve over
+        # total_steps = steps_per_epoch * max_epochs (run_train.py:166-177)
+        # -- built lazily once steps_per_epoch is known. 'epoch' (compat)
+        # evaluates it once per epoch at count=epoch-1, reproducing the
+        # reference's per-epoch scheduler stepping (trainer.py:387-388
+        # quirk: training never leaves the warmup crawl); 'step' gives
+        # the textbook per-step OneCycle. Oracle-compared against the
+        # torch trainer's lr sequence in tests/test_optim_reference.py.
         self.schedule_units = schedule_units
-        if schedule_units == 'epoch':
-            self._schedule = make_onecycle_schedule(
-                cfg.learning_rate, cfg.max_epochs, cfg.warmup_epochs)
-        else:
-            self._schedule = None   # built lazily once steps_per_epoch known
+        self._schedule = None
 
         if mesh is not None:
             # SAME code path as parallel/train_step.py's tested sharded
@@ -154,16 +156,16 @@ class YOLOCLIPTrainer:
         # scalar per step would sync the async dispatch pipeline (a fixed
         # ~30ms RTT per fetch through the remote-TPU tunnel); one fetch
         # per key per EPOCH instead
+        if self._schedule is None:
+            total = self.cfg.max_epochs * len(dataloader)
+            warm = self.cfg.warmup_epochs * len(dataloader)
+            self._schedule = make_onecycle_schedule(
+                self.cfg.learning_rate, total, warm)
         if self.schedule_units == 'epoch':
             self.state = set_learning_rate(self.state,
                                            self._schedule(epoch - 1))
         for batch in dataloader:
             if self.schedule_units == 'step':
-                if self._schedule is None:
-                    total = self.cfg.max_epochs * len(dataloader)
-                    warm = self.cfg.warmup_epochs * len(dataloader)
-                    self._schedule = make_onecycle_schedule(
-                        self.cfg.learning_rate, total, warm)
                 if self._host_step is None:   # one sync, then host-mirrored
                     self._host_step = int(self.state.step)
                 self.state = set_learning_rate(
