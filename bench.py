@@ -62,7 +62,8 @@ def wait_for_backend(deadline_s: float) -> None:
 
 
 def build(batch_size: int, num_classes: int, image_size: int, dtype: str,
-          variant: str = 'n', stem_s2d: bool = False):
+          variant: str = 'n', stem_s2d: bool = False,
+          stem_u8_s2d: bool = False):
     from yoloclip_tpu.config import (COCO_CLASS_NAMES, InferenceConfig,
                                      ModelConfig)
     from yoloclip_tpu.inference.detector import YOLOCLIPDetector
@@ -74,7 +75,7 @@ def build(batch_size: int, num_classes: int, image_size: int, dtype: str,
     cfg = InferenceConfig(
         model=ModelConfig(backbone_variant=variant,
                           image_size=(image_size, image_size), dtype=dtype,
-                          stem_s2d=stem_s2d),
+                          stem_s2d=stem_s2d, stem_u8_s2d=stem_u8_s2d),
         class_names=tuple(names),
         conf_threshold=0.25, iou_threshold=0.45,
         nms_topk=1024, max_detections=300)
@@ -105,6 +106,10 @@ def main():
     ap.add_argument('--stem-s2d', action='store_true',
                     help='run the backbone stem in the space-to-depth '
                          'layout (exact; A/B knob)')
+    ap.add_argument('--stem-u8-s2d', action='store_true',
+                    help='uint8 space-to-depth letterbox canvas with /255 '
+                         'folded into the stem kernel (exact; the probe-'
+                         'winning layout, benchmarks/RESULTS.md stem A/B)')
     ap.add_argument('--backend-wait', type=float, default=3600.0,
                     help='max seconds to wait for the (shared, occasionally '
                          'stalled) TPU pool before starting; 0 disables. '
@@ -116,9 +121,12 @@ def main():
     use_int8 = not args.bf16
     wait_for_backend(args.backend_wait)
 
+    if args.stem_s2d and args.stem_u8_s2d:
+        ap.error('--stem-s2d and --stem-u8-s2d are mutually exclusive')
     detector, images = build(args.batch_size, args.classes, args.image_size,
                              args.dtype, args.variant,
-                             stem_s2d=args.stem_s2d)
+                             stem_s2d=args.stem_s2d,
+                             stem_u8_s2d=args.stem_u8_s2d)
     if use_int8:
         detector.quantize_int8(images[:8])
 

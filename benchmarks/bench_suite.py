@@ -180,9 +180,12 @@ def bench_streaming(n_streams=8):
          'fps/stream', 30)
 
 
-def bench_train_step(batch=64, classes=80, max_objects=100):
+def bench_train_step(batch=64, classes=80, max_objects=100, accum=1):
     """BASELINE config 4: region-text contrastive fine-tune step, bs=64
-    (forward + backward + AdamW update, cached text embeddings)."""
+    (forward + backward + AdamW update, cached text embeddings).
+    accum>1: gradient accumulation over `accum` micro-batches of
+    batch/accum inside the one jitted step (config 27: the
+    memory-vs-throughput trade at a fixed effective batch)."""
     from yoloclip_tpu.config import ModelConfig, TrainingConfig
     from yoloclip_tpu.models.yolo_clip import YOLOCLIP
     from yoloclip_tpu.train.train_state import (create_train_state,
@@ -191,7 +194,7 @@ def bench_train_step(batch=64, classes=80, max_objects=100):
     mcfg = ModelConfig(backbone_variant='n', image_size=(640, 640),
                        dtype='bfloat16')
     cfg = TrainingConfig(model=mcfg, batch_size=batch,
-                         max_objects=max_objects)
+                         max_objects=max_objects, grad_accum_steps=accum)
     model = YOLOCLIP(mcfg)
     rng = jax.random.PRNGKey(0)
     text = jax.random.normal(rng, (batch, classes, 512), jnp.float32)
@@ -224,9 +227,10 @@ def bench_train_step(batch=64, classes=80, max_objects=100):
         state = run(state)
     np.asarray(state.step)
     dt = (time.perf_counter() - t0) / iters
-    emit(f'train_step_bs{batch}_throughput', batch / dt,
+    atag = f'_accum{accum}' if accum > 1 else ''
+    emit(f'train_step_bs{batch}{atag}_throughput', batch / dt,
          'images/sec/chip', None)
-    emit(f'train_step_bs{batch}_time', dt * 1000, 'ms/step', None)
+    emit(f'train_step_bs{batch}{atag}_time', dt * 1000, 'ms/step', None)
 
 
 def bench_trainer_loop(batch=64, classes=80, max_objects=100, n_batches=6):
@@ -477,6 +481,51 @@ def bench_stem_s2d(batch=32, classes=80):
     dt = _throughput_time(qpipeline, qvars, images, text)
     emit(f'stem_s2d_int8_bs{batch}_throughput', batch / dt,
          'images/sec/chip', 400)
+
+
+def bench_stem_u8_s2d(batch=32, classes=80, int8=True):
+    """Config 26: uint8 space-to-depth stem A/B through the PUBLIC
+    `detect_batch` path (the headline's path), SAME session both arms.
+
+    The probe (benchmarks/probe_stem.py, RESULTS.md stem study) measured
+    stem_u8_s2d as the only layout beating the plain stem (2.522 vs
+    3.087 ms/batch isolated, ~+3% e2e int8 predicted). This config
+    measures that prediction end to end: plain vs u8-s2d, identical
+    detector config otherwise, back to back so the shared pool's +-5-10%
+    drift can't masquerade as the effect. Exactness of the layout is
+    covered by tests (test_quantize.py, test_detector.py); quality under
+    int8 calibration-on-the-s2d-canvas by quality_eval --stem-u8-s2d."""
+    import dataclasses
+
+    from yoloclip_tpu.config import (COCO_CLASS_NAMES, InferenceConfig,
+                                     ModelConfig)
+    from yoloclip_tpu.inference.detector import YOLOCLIPDetector
+
+    # pre-place frames on device (committed jnp array): detect_batch's
+    # jnp.asarray is then a no-op, so the loop measures the pipeline --
+    # NOT a 39 MB host->device upload per call through the tunnel
+    images = jnp.asarray((np.random.RandomState(1)
+                          .rand(batch, 640, 640, 3) * 255)
+                         .astype(np.uint8))
+    tag = 'int8' if int8 else 'bf16'
+    results = {}
+    for name, u8 in (('plain', False), ('u8s2d', True)):
+        cfg = InferenceConfig(
+            model=ModelConfig(backbone_variant='n', image_size=(640, 640),
+                              dtype='bfloat16', stem_u8_s2d=u8),
+            class_names=tuple(COCO_CLASS_NAMES[:classes]),
+            conf_threshold=0.25, iou_threshold=0.45,
+            nms_topk=1024, max_detections=300)
+        det = YOLOCLIPDetector(config=cfg)
+        if int8:
+            det.quantize_int8(images[:8])
+        dt = _throughput_time(det.detect_batch, images)
+        results[name] = batch / dt
+        emit(f'stem_{name}_{tag}_bs{batch}_detect_batch', batch / dt,
+             'images/sec/chip', 400)
+    emit(f'stem_u8s2d_{tag}_bs{batch}_speedup',
+         (results['u8s2d'] / results['plain'] - 1.0) * 100.0,
+         'percent_vs_plain_same_session', None)
 
 
 def bench_vocab_swap(batch=32, classes=80, n_vocabs=8, image_size=640):
@@ -758,6 +807,18 @@ def main():
         # 6/16's pure step): device-side metric accumulation keeps the
         # dispatch pipeline async -- should track config 6 closely
         bench_trainer_loop()
+    if '26' in wanted:
+        # u8-s2d stem A/B through the public detect_batch path, same
+        # session both arms (probe prediction: ~+3% int8 e2e)
+        bench_stem_u8_s2d(batch=32, int8=True)
+        bench_stem_u8_s2d(batch=256, int8=True)
+        bench_stem_u8_s2d(batch=32, int8=False)
+    if '27' in wanted:
+        # train saturation at bs=256 + the grad-accum trade at a fixed
+        # effective batch (bs=256 flat vs 128x2) -- completes the
+        # capacity-planning curve from configs 6/16
+        bench_train_step(batch=256)
+        bench_train_step(batch=256, accum=2)
 
 
 if __name__ == '__main__':

@@ -87,11 +87,12 @@ def train(args, family, train_ids):
     return model, mcfg, state
 
 
-def evaluate(model, state, val, text, conf, iou):
+def evaluate(model, state, val, text, conf, iou, skip_image_pool=False):
     from quality_eval import eval_ours
 
     from yoloclip_tpu.utils.metrics import calculate_map
-    preds = eval_ours(model, state, val, text, conf, iou)
+    preds = eval_ours(model, state, val, text, conf, iou,
+                      skip_image_pool=skip_image_pool)
     targets = [{'boxes': val['boxes'][i][None],
                 'class_ids': val['class_ids'][i][None],
                 'valid_mask': val['valid_mask'][i][None]}
@@ -115,6 +116,13 @@ def main():
     ap.add_argument('--iou', type=float, default=0.45)
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--cache-state', default=None, metavar='PATH')
+    ap.add_argument('--reparam', action='store_true',
+                    help='ALSO run the seen + zero-shot evals through the '
+                         'reparam deploy graph (I-Pooling dropped, '
+                         'ops/reparam.py): open-vocab generalization is '
+                         'where dropping the image->text update is most '
+                         'likely to cost, so the peak-throughput headline '
+                         'needs this number')
     args = ap.parse_args()
 
     import jax
@@ -188,7 +196,7 @@ def main():
                            family['embeddings'][held_ids][perm],
                            args.conf, args.iou)
 
-    print(json.dumps({
+    result = {
         'metric': 'zero_shot_map50',
         'value': round(zs_m50, 4),
         'zero_shot_map50_95': round(zs_m5095, 4),
@@ -197,7 +205,22 @@ def main():
         'shuffled_control_map50': round(ctrl_m50, 4),
         'train_classes': int(len(train_ids)),
         'holdout_classes': int(len(held_ids)),
-    }))
+    }
+    if args.reparam:
+        rp_seen, _ = evaluate(model, state, seen_val,
+                              family['embeddings'][train_ids],
+                              args.conf, args.iou, skip_image_pool=True)
+        rp_zs, rp_zs95 = evaluate(model, state, held_val,
+                                  family['embeddings'][held_ids],
+                                  args.conf, args.iou,
+                                  skip_image_pool=True)
+        result.update({
+            'reparam_seen_map50': round(rp_seen, 4),
+            'reparam_zero_shot_map50': round(rp_zs, 4),
+            'reparam_zero_shot_map50_95': round(rp_zs95, 4),
+            'reparam_zero_shot_gap': round(abs(zs_m50 - rp_zs), 4),
+        })
+    print(json.dumps(result))
 
 
 if __name__ == '__main__':

@@ -111,7 +111,7 @@ def build_train(args):
     return model, mcfg, state, text
 
 
-def eval_ours(model, state, val, text, conf, iou):
+def eval_ours(model, state, val, text, conf, iou, skip_image_pool=False):
     import jax
     import jax.numpy as jnp
 
@@ -125,9 +125,12 @@ def eval_ours(model, state, val, text, conf, iou):
     def run(v, im, tx):
         # 'highest': keep fp32 convs true-fp32 on TPU (the default lowers
         # them to bf16 passes) so the cross-check against the fp32 torch
-        # reference measures pipeline agreement, not compute precision
+        # reference measures pipeline agreement, not compute precision.
+        # skip_image_pool=True is the REPARAM deploy graph (I-Pooling
+        # dropped, ops/reparam.py) -- same precision so any delta vs the
+        # default run is attributable to the I-Pool drop alone.
         with jax.default_matmul_precision('highest'):
-            out = model.apply(v, im, tx)
+            out = model.apply(v, im, tx, skip_image_pool=skip_image_pool)
         # scale-1.0 rescale applies the reference's pre-NMS boundary clip
         boxes = rescale_boxes(out['boxes'], jnp.float32(1.0), (S, S))
         return batched_nms(boxes, out['scores'], out['class_ids'],
@@ -191,27 +194,46 @@ def eval_reference(mcfg, state, val, text, conf, iou):
 
 
 def eval_int8(mcfg, state, train, val, text, conf, iou,
-              calibration='max'):
+              calibration='max', skip_image_pool=False,
+              stem_u8_s2d=False):
     """Quantize the trained weights (W8A8, ops/quantize.py) and evaluate
     through the same batched inference path. Calibration: 32 train images,
-    scheme 'max' or 'percentile'."""
+    scheme 'max' or 'percentile'. skip_image_pool=True quantizes AND
+    evaluates the reparam deploy graph (calibration runs the same graph,
+    like build_quant_forward). stem_u8_s2d=True runs the uint8
+    space-to-depth input layout (calibration on the s2d canvas)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
     from yoloclip_tpu.ops.nms import batched_nms
-    from yoloclip_tpu.ops.preprocess import rescale_boxes
+    from yoloclip_tpu.ops.preprocess import (letterbox_batch_u8_s2d,
+                                             rescale_boxes)
     from yoloclip_tpu.ops.quantize import quantize_model
 
     variables = {'params': state.params, 'batch_stats': state.batch_stats}
-    calib = jnp.asarray(train['images'][:32])
+    if stem_u8_s2d:
+        mcfg = dataclasses.replace(mcfg, stem_u8_s2d=True)
+
+    def to_input(imgs):
+        x = jnp.asarray(imgs)
+        if stem_u8_s2d:
+            # synth images are float [0,1]; the u8-s2d canvas is 0..255
+            x, _ = letterbox_batch_u8_s2d(
+                jnp.round(x * 255.0), mcfg.image_size)
+        return x
+
+    calib = to_input(train['images'][:32])
     qmodel, qvars = quantize_model(mcfg, variables,
                                    [(calib, jnp.asarray(text))],
-                                   calibration=calibration)
+                                   calibration=calibration,
+                                   skip_image_pool=skip_image_pool)
     S = val['images'].shape[1]
 
     @jax.jit
     def run(v, im, tx):
-        out = qmodel.apply(v, im, tx)
+        out = qmodel.apply(v, im, tx, skip_image_pool=skip_image_pool)
         boxes = rescale_boxes(out['boxes'], jnp.float32(1.0), (S, S))
         return batched_nms(boxes, out['scores'], out['class_ids'],
                            jnp.float32(conf), jnp.float32(iou),
@@ -221,7 +243,7 @@ def eval_int8(mcfg, state, train, val, text, conf, iou,
     N = val['images'].shape[0]
     bs = 16
     for i in range(0, N, bs):
-        det = run(qvars, jnp.asarray(val['images'][i:i + bs]),
+        det = run(qvars, to_input(val['images'][i:i + bs]),
                   jnp.asarray(text))
         for b in range(det['boxes'].shape[0]):
             preds.append({
@@ -307,6 +329,18 @@ def main():
     ap.add_argument('--skip-reference', action='store_true')
     ap.add_argument('--int8', action='store_true',
                     help='also evaluate the W8A8 quantized deploy path')
+    ap.add_argument('--reparam', action='store_true',
+                    help='also evaluate the REPARAM deploy graph '
+                         '(vocabulary folded, I-Pooling dropped -- '
+                         'ops/reparam.py): the mAP cost behind the peak '
+                         'throughput headlines. With --int8, additionally '
+                         'evaluates the int8+reparam combination '
+                         '(build_quant_forward defaults)')
+    ap.add_argument('--stem-u8-s2d', action='store_true',
+                    help='run the int8 eval in the uint8 space-to-depth '
+                         'input layout (calibration on the s2d canvas; '
+                         'requires --int8) -- the quality check for the '
+                         'probe-winning serve layout')
     ap.add_argument('--calibration', choices=['max', 'percentile'],
                     default='max',
                     help='int8 activation-scale scheme: max-abs or '
@@ -416,11 +450,30 @@ def main():
                 'valid_mask': val['valid_mask'][i][None]}
                for i in range(args.val_images)]
 
+    if args.stem_u8_s2d and not args.int8:
+        ap.error('--stem-u8-s2d requires --int8 (it is a serve-path int8 '
+                 'layout)')
+
     ours = eval_ours(model, state, val, text, args.conf, args.iou)
     map50, map50_95 = calculate_map(ours, targets)
     result = {'metric': 'synthetic_map50', 'value': round(map50, 4),
               'map50_95': round(map50_95, 4),
               'train_dtype': args.train_dtype}
+
+    if args.reparam:
+        # I-Pool dropped, everything else identical (same forced-fp32
+        # precision): the delta vs `ours` IS the reparam quality cost
+        rp = eval_ours(model, state, val, text, args.conf, args.iou,
+                       skip_image_pool=True)
+        rmap50, rmap50_95 = calculate_map(rp, targets)
+        agree, score_mad = detection_agreement_stats(ours, rp, iou_min=0.9)
+        result.update({
+            'reparam_map50': round(rmap50, 4),
+            'reparam_map50_95': round(rmap50_95, 4),
+            'reparam_map50_gap': round(abs(map50 - rmap50), 4),
+            'reparam_detection_agreement': round(agree, 4),
+            'reparam_score_median_shift': round(score_mad, 4),
+        })
 
     if args.int8:
         train_set = make_synth_detection_set(args.train_images, seed=0,
@@ -428,7 +481,8 @@ def main():
                                              num_classes=args.num_classes,
                                              **_scene_kwargs(args))
         qp = eval_int8(mcfg, state, train_set, val, text, args.conf,
-                       args.iou, calibration=args.calibration)
+                       args.iou, calibration=args.calibration,
+                       stem_u8_s2d=args.stem_u8_s2d)
         qmap50, qmap50_95 = calculate_map(qp, targets)
         # score-agnostic match: int8 shifts the cosine scores (dequant
         # error + the deploy graph's bf16 float portions vs eval_ours'
@@ -438,12 +492,28 @@ def main():
         agree, score_mad = detection_agreement_stats(ours, qp, iou_min=0.9)
         result.update({
             'int8_calibration': args.calibration,
+            'int8_stem_u8_s2d': bool(args.stem_u8_s2d),
             'int8_map50': round(qmap50, 4),
             'int8_map50_95': round(qmap50_95, 4),
             'int8_map50_gap': round(abs(map50 - qmap50), 4),
             'int8_detection_agreement': round(agree, 4),
             'int8_score_median_shift': round(score_mad, 4),
         })
+        if args.reparam:
+            # the peak-headline configuration: int8 AND I-Pool dropped
+            qrp = eval_int8(mcfg, state, train_set, val, text, args.conf,
+                            args.iou, calibration=args.calibration,
+                            skip_image_pool=True)
+            qrmap50, qrmap50_95 = calculate_map(qrp, targets)
+            agree, score_mad = detection_agreement_stats(ours, qrp,
+                                                         iou_min=0.9)
+            result.update({
+                'int8_reparam_map50': round(qrmap50, 4),
+                'int8_reparam_map50_95': round(qrmap50_95, 4),
+                'int8_reparam_map50_gap': round(abs(map50 - qrmap50), 4),
+                'int8_reparam_detection_agreement': round(agree, 4),
+                'int8_reparam_score_median_shift': round(score_mad, 4),
+            })
 
     if args.wide_vocab:
         C = text.shape[0]
