@@ -1,4 +1,9 @@
-"""Reparameterized deploy mode: constant-folded vocabulary, I-Pool dropped."""
+"""Reparameterized deploy mode: constant-folded vocabulary.
+
+I-Pool is KEPT by default (round 4: dropping it on I-Pool-trained weights
+measured 0.0 mAP -- every cosine score lands under the 0.25 confidence
+threshold; ops/reparam.py docstring). skip_image_pool=True remains an
+explicit opt-in and is pinned here for exactness."""
 
 import numpy as np
 import jax
@@ -9,7 +14,10 @@ from yoloclip_tpu.models.yolo_clip import YOLOCLIP
 from yoloclip_tpu.ops.reparam import build_reparam_forward
 
 
-def test_reparam_forward_runs_and_differs_only_by_ipool():
+def test_reparam_forward_default_is_exact():
+    """The DEFAULT reparam graph (vocabulary constant-folded, I-Pool kept)
+    must be numerically identical to the standard apply -- reparam is a
+    compiler trick, not a math change."""
     cfg = ModelConfig(image_size=(128, 128))
     model = YOLOCLIP(cfg)
     rng = jax.random.PRNGKey(0)
@@ -23,15 +31,41 @@ def test_reparam_forward_runs_and_differs_only_by_ipool():
     assert out['boxes'].shape == (1, cfg.num_anchors(), 4)
     assert np.isfinite(np.asarray(out['scores'])).all()
 
-    # equals a manual skip_image_pool apply
+    # rtol 2e-4: the jitted constant-folded graph fuses/reassociates
+    # float ops differently from the eager apply -- same math, last-ulp
+    # scale differences only (scores live on the [-1, 1] cosine scale)
+    std = model.apply(variables, images, vocab)
+    np.testing.assert_allclose(np.asarray(out['scores']),
+                               np.asarray(std['scores']),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out['boxes']),
+                               np.asarray(std['boxes']),
+                               rtol=2e-4, atol=1e-3)
+
+
+def test_reparam_forward_skip_ipool_opt_in():
+    """skip_image_pool=True (opt-in, for models TRAINED without I-Pool)
+    drops the image->text update: text passes through unmodified and the
+    graph equals a manual skip apply."""
+    cfg = ModelConfig(image_size=(128, 128))
+    model = YOLOCLIP(cfg)
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.uniform(rng, (1, 128, 128, 3))
+    vocab = jax.random.normal(rng, (5, 512))
+    vocab = vocab / jnp.linalg.norm(vocab, axis=-1, keepdims=True)
+    variables = model.init(rng, images, vocab)
+
+    fwd = build_reparam_forward(model, variables, vocab,
+                                skip_image_pool=True)
+    out = fwd(images)
     ref = model.apply(variables, images, vocab, skip_image_pool=True)
     np.testing.assert_allclose(np.asarray(out['scores']),
                                np.asarray(ref['scores']), rtol=1e-5)
-    # and text_embeddings pass through UNmodified (I-Pool dropped)
+    # text_embeddings pass through UNmodified (I-Pool dropped)
     np.testing.assert_allclose(
         np.asarray(out['text_embeddings'][0]), np.asarray(vocab), rtol=1e-6)
-    # while the standard path modifies them
-    std = model.apply(variables, images, vocab)
+    # while the default path modifies them
+    std = build_reparam_forward(model, variables, vocab)(images)
     assert not np.allclose(np.asarray(std['text_embeddings'][0]),
                            np.asarray(vocab))
 

@@ -32,8 +32,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument('--max-detections', type=int, default=300)
     ap.add_argument('--no-nms', action='store_true',
                     help='export raw boxes/scores (no suppression)')
-    ap.add_argument('--reparam', action='store_true',
-                    help='deploy mode: drop I-Pooling (see ops/reparam.py)')
+    ap.add_argument('--skip-ipool', '--reparam', dest='skip_ipool',
+                    action='store_true',
+                    help='ALSO drop I-Pooling from the exported graph. '
+                         'Only for models TRAINED without I-Pooling: on '
+                         'I-Pool-trained weights this zeroes detection '
+                         'quality (measured 0.0 mAP -- ops/reparam.py). '
+                         'The vocabulary is constant-folded either way.')
     ap.add_argument('--platforms', default=None,
                     help="comma list, e.g. 'tpu,cpu' (default: current)")
     ap.add_argument('--text-checkpoint', default=None)
@@ -61,7 +66,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         include_nms=not args.no_nms,
         conf_threshold=args.conf, iou_threshold=args.iou,
         max_detections=args.max_detections,
-        skip_image_pool=args.reparam,
+        skip_image_pool=args.skip_ipool,
         platforms=[p.strip() for p in args.platforms.split(',')
                    if p.strip()] if args.platforms else None)
     logger.info('exported %d-class detector (bs=%d, %dx%d) -> %s',

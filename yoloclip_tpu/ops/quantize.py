@@ -217,12 +217,16 @@ def build_quant_forward(cfg, variables, vocabulary: jax.Array,
                         calib_images: jax.Array,
                         class_mask: Optional[jax.Array] = None,
                         fused_scores: Optional[bool] = None,
-                        skip_image_pool: bool = True,
+                        skip_image_pool: bool = False,
                         nms: Optional[Dict] = None) -> Callable:
     """int8 sibling of `ops.reparam.build_reparam_forward`: returns a jitted
     `fn(images) -> output dict` running the W8A8 deploy graph with the
     vocabulary baked in. Calibration uses `calib_images` (a representative
     (N, H, W, 3) float batch) against the same vocabulary.
+
+    skip_image_pool: ALSO drop I-Pooling -- off by default; on weights
+    trained with I-Pooling this zeroes detection quality (max cosine
+    score 0.128 < the 0.25 conf threshold; `ops/reparam.py` docstring).
 
     nms: optional `batched_nms` kwargs dict -- runs NMS inside the SAME
     jitted program so the unused obj_embeddings are dead-code-eliminated
