@@ -110,6 +110,66 @@ def test_server_invalid_image_fails_future(server):
         fut.result(timeout=10)
 
 
+def test_server_bucketed_dispatch(detector):
+    """Partial batches pad to the smallest power-of-two bucket, not to
+    max_batch: results must match the single-image API and stats() must
+    show mean_bucket < max_batch for a 3-request burst under max_batch=8
+    (buckets 1/2/4/8 -> a 3-batch lands in bucket 4)."""
+    import concurrent.futures as cf
+
+    from yoloclip_tpu.inference.server import DetectionServer
+    srv = DetectionServer(detector, max_batch=8, max_delay_ms=250.0)
+    try:
+        assert srv._buckets == [1, 2, 4, 8]
+        srv.warmup()            # compiles all four bucket programs
+        srv.reset_stats()
+        imgs = [_img(40 + i, 100, 120) for i in range(3)]
+        # submit from one burst so they coalesce into ONE batch
+        futs = [srv.submit(im) for im in imgs]
+        got = [f.result(timeout=120) for f in futs]
+        s = srv.stats()
+        assert s['batches'] == 1
+        assert s['mean_occupancy'] == 3.0
+        assert s['mean_bucket'] == 4.0          # padded to 4, not 8
+        want = [detector.detect(im) for im in imgs]
+        for g, w in zip(got, want):
+            assert len(g) == len(w)
+            for a, b in zip(g, w):
+                assert a['class_id'] == b['class_id']
+                np.testing.assert_allclose(a['score'], b['score'],
+                                           rtol=1e-4, atol=1e-5)
+    finally:
+        srv.close()
+
+    # bucket_batches=False restores the always-max_batch layout
+    srv = DetectionServer(detector, max_batch=8, max_delay_ms=50.0,
+                          bucket_batches=False)
+    try:
+        assert srv._buckets == [8]
+        srv.detect(_img(50, 90, 90), timeout=120)
+        assert srv.stats()['mean_bucket'] == 8.0
+    finally:
+        srv.close()
+
+
+def test_server_bucketed_mesh_divisibility(detector):
+    """Under a mesh every bucket must divide the 'data' axis: the
+    smallest bucket is the axis size, so a 1-request batch on a 4-way
+    mesh pads to 4 (never 1) and still shards correctly."""
+    from yoloclip_tpu.inference.server import DetectionServer
+    from yoloclip_tpu.parallel.mesh import create_mesh
+    mesh = create_mesh(n_data=4, n_model=1)
+    srv = DetectionServer(detector, max_batch=16, max_delay_ms=20.0,
+                          mesh=mesh)
+    try:
+        assert srv._buckets == [4, 8, 16]
+        got = srv.detect(_img(60, 100, 100), timeout=300)
+        assert isinstance(got, list)
+        assert srv.stats()['mean_bucket'] == 4.0
+    finally:
+        srv.close()
+
+
 def test_server_requires_offline_vocab():
     from yoloclip_tpu.inference.detector import YOLOCLIPDetector
     from yoloclip_tpu.inference.server import DetectionServer

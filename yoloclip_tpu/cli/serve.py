@@ -217,10 +217,9 @@ def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO)
 
     server, detector = build_server(args)
-    # pre-compile the serving program so the first request doesn't pay
-    # the XLA compile (minutes on a cold remote backend)
-    dummy = np.zeros((8, 8, 3), np.uint8)
-    server.detect(dummy)
+    # pre-compile EVERY bucket program so no live request ever pays an
+    # XLA compile (minutes on a cold remote backend)
+    server.warmup()
     server.reset_stats()   # don't let the compile latency skew /stats
     logger.info('serving %d classes (%s, %s) on %s:%d',
                 len(detector.class_names), args.variant,

@@ -16,9 +16,12 @@ TPU-first design:
     (native C++ loader / cv2 / numpy fallback) to the fixed model canvas,
     so ONE compiled program serves every input size -- a device-letterbox
     design would retrace per unique (H, W).
-  * Partial batches PAD to the fixed batch size (XLA static shapes only);
-    padding rows are dead compute masked out host-side. Mean occupancy is
-    reported in `stats()` so operators can see the padding tax.
+  * Partial batches PAD to the smallest power-of-two BUCKET that holds
+    them (XLA static shapes only; jit caches one executable per bucket
+    size, `warmup()` pre-compiles them all) -- the canvas upload and the
+    device program scale with actual occupancy instead of always paying
+    max_batch. Mean occupancy and mean bucket size are reported in
+    `stats()` so operators can see the residual padding tax.
   * Two pipeline threads: the dispatcher assembles + dispatches batch k+1
     while the completer fetches batch k (double buffering; dispatch is
     async, the ONE packed device->host fetch per batch amortizes the
@@ -75,7 +78,8 @@ class DetectionServer:
     def __init__(self, detector, max_batch: int = 32,
                  max_delay_ms: float = 5.0,
                  queue_capacity: int = 1024,
-                 mesh=None, spatial: bool = False):
+                 mesh=None, spatial: bool = False,
+                 bucket_batches: bool = True):
         if detector.offline_vocabulary is None:
             raise ValueError(
                 'DetectionServer needs a detector with an offline '
@@ -95,6 +99,22 @@ class DetectionServer:
         self.detector = detector
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1000.0
+        # Bucketed dispatch: a partial batch pads only to the smallest
+        # power-of-two bucket that holds it, not to max_batch -- the
+        # host->device canvas upload AND the device program scale with
+        # actual occupancy instead of the worst case (XLA still sees
+        # static shapes: jit caches ONE executable per bucket size).
+        # Under a mesh, every bucket must divide evenly over the 'data'
+        # axis, so the smallest bucket is the axis size itself.
+        if bucket_batches:
+            lo = mesh.shape['data'] if mesh is not None else 1
+            b, buckets = lo, []
+            while b < self.max_batch:
+                buckets.append(b)
+                b *= 2
+            self._buckets = buckets + [self.max_batch]
+        else:
+            self._buckets = [self.max_batch]
         self._queue: queue.Queue = queue.Queue(maxsize=queue_capacity)
         # ONE attribute so a hot-swap is atomic for the dispatcher's read
         self._vocab: Tuple[jax.Array, List[str]] = (
@@ -106,6 +126,7 @@ class DetectionServer:
         self._n_requests = 0
         self._n_batches = 0
         self._occupancy_sum = 0
+        self._bucket_sum = 0
         self._latencies: List[float] = []
 
         self._closed = False
@@ -227,6 +248,8 @@ class DetectionServer:
                 'batches': self._n_batches,
                 'mean_occupancy': (self._occupancy_sum / self._n_batches
                                    if self._n_batches else 0.0),
+                'mean_bucket': (self._bucket_sum / self._n_batches
+                                if self._n_batches else 0.0),
                 'p50_latency_ms': lat[n // 2] * 1000 if n else 0.0,
                 'p95_latency_ms': lat[int(n * 0.95)] * 1000 if n else 0.0,
                 'queue_depth': self._queue.qsize(),
@@ -239,7 +262,26 @@ class DetectionServer:
             self._n_requests = 0
             self._n_batches = 0
             self._occupancy_sum = 0
+            self._bucket_sum = 0
             self._latencies = []
+
+    def warmup(self) -> None:
+        """Compile every bucket program before serving (one dummy batch
+        per bucket size, smallest first). Without this the first request
+        that lands in a new bucket pays its XLA compile inline -- a
+        multi-second latency spike production servers must not take on a
+        live request. Blocks until every executable is built."""
+        th, tw = self.detector.image_size
+        text, _ = self._vocab
+        for b in self._buckets:
+            packed = self._run(
+                self.detector.variables,
+                jnp.zeros((b, th, tw, 3), jnp.uint8), text,
+                jnp.ones((b,), jnp.float32),
+                jnp.ones((b, 2), jnp.float32),
+                jnp.float32(self.detector.conf_threshold),
+                jnp.float32(self.detector.iou_threshold))
+        np.asarray(packed)      # sync: the last compile has finished
 
     def close(self, timeout: float = 30.0) -> None:
         """Drain the queue, stop both pipeline threads. Idempotent."""
@@ -297,9 +339,10 @@ class DetectionServer:
             reqs, stop = self._collect_batch()
             if reqs:
                 n = len(reqs)
-                canv = np.zeros((self.max_batch, th, tw, 3), np.uint8)
-                scales = np.ones((self.max_batch,), np.float32)
-                whs = np.ones((self.max_batch, 2), np.float32)
+                b = next(s for s in self._buckets if s >= n)
+                canv = np.zeros((b, th, tw, 3), np.uint8)
+                scales = np.ones((b,), np.float32)
+                whs = np.ones((b, 2), np.float32)
                 for i, r in enumerate(reqs):
                     canv[i] = r.canvas
                     scales[i] = r.scale
@@ -324,6 +367,7 @@ class DetectionServer:
                     with self._stats_lock:
                         self._n_batches += 1
                         self._occupancy_sum += n
+                        self._bucket_sum += b
                     self._inflight.put((packed, reqs))
             if stop:
                 self._inflight.put(_SENTINEL)
