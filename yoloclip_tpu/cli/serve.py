@@ -183,7 +183,8 @@ def build_server(args) -> 'object':
         raise SystemExit('--spatial needs --devices')
     return DetectionServer(detector, max_batch=args.max_batch,
                            max_delay_ms=args.max_delay_ms,
-                           mesh=mesh, spatial=spatial > 1), detector
+                           mesh=mesh, spatial=spatial > 1,
+                           bucket_batches=not args.no_bucket), detector
 
 
 def main(argv=None) -> int:
@@ -203,6 +204,10 @@ def main(argv=None) -> int:
                     help='directory of images for int8 calibration')
     ap.add_argument('--max-batch', type=int, default=32)
     ap.add_argument('--max-delay-ms', type=float, default=5.0)
+    ap.add_argument('--no-bucket', action='store_true',
+                    help='always dispatch max_batch-shaped batches instead '
+                         'of padding to the smallest power-of-two bucket '
+                         '(one executable instead of log2(max_batch)+1)')
     ap.add_argument('--devices', default=None,
                     help="shard batches over N chips ('auto' = all); "
                          'requests are data-parallel')

@@ -65,9 +65,11 @@ def calibrate_amax(model, variables, batches: Iterable[Tuple[Any, Any]],
     """Run calibration forwards, return the per-ConvBlock input-amax tree.
 
     model: a YOLOCLIP built with cfg.quant='calib'. batches: iterable of
-    (images, text_embeddings). apply_kwargs are forwarded to apply (e.g.
-    skip_image_pool=True to calibrate the deploy graph). Returns the
-    'intermediates' subtree: nested dict ending in {'in_amax': scalar}.
+    (images, text_embeddings). apply_kwargs are forwarded to apply, so
+    calibration always runs the SAME graph configuration that will be
+    served (e.g. skip_image_pool=True only when deploying that opt-in).
+    Returns the 'intermediates' subtree: nested dict ending in
+    {'in_amax': scalar}.
     """
     # ONE jitted program per input shape -- eager apply would dispatch
     # thousands of ops individually (minutes through a remote-TPU tunnel)
