@@ -685,6 +685,126 @@ def bench_serving(n_clients=64, n_requests=512, max_batch=32,
         srv.close()
 
 
+def bench_serving_http(n_clients=16, n_requests=192, max_batch=32,
+                       max_delay_ms=5.0, image_size=640, int8=True):
+    """Config 29: the HTTP front-end's overhead vs the in-process
+    DetectionServer (round-4 verdict task 3: the layer cli/serve.py adds
+    was unmeasured).
+
+    One DetectionServer instance serves BOTH arms back-to-back in the
+    same session: (a) clients POST JPEG bytes to a live
+    ThreadingHTTPServer on an ephemeral port (stdlib http.client, one
+    persistent connection per client thread) -- pays HTTP parsing +
+    server-side JPEG decode + JSON serialization; (b) the same client
+    threads call srv.detect() with pre-decoded frames. The delta is the
+    front-end cost. On this 1-CPU container the decode/HTTP work
+    serializes with letterboxing, so the overhead here is an UPPER bound
+    for a multi-core serving host."""
+    import http.client
+    import io
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    from PIL import Image
+
+    from yoloclip_tpu.cli.serve import make_handler
+    from yoloclip_tpu.config import InferenceConfig, ModelConfig
+    from yoloclip_tpu.inference.detector import YOLOCLIPDetector
+    from yoloclip_tpu.inference.server import DetectionServer
+
+    cfg = InferenceConfig(
+        model=ModelConfig(image_size=(image_size, image_size),
+                          dtype='bfloat16'),
+        conf_threshold=0.25, iou_threshold=0.45,
+        nms_topk=1024, max_detections=300)
+    det = YOLOCLIPDetector(config=cfg)
+    rng = np.random.RandomState(0)
+    if int8:
+        calib = (rng.rand(8, image_size, image_size, 3) * 255
+                 ).astype(np.uint8)
+        det.quantize_int8(calib)
+
+    sizes = [(480, 640), (720, 1280), (1080, 1920), (640, 640)]
+    frames = [(rng.rand(h, w, 3) * 255).astype(np.uint8)
+              for h, w in sizes]
+    jpegs = []
+    for f in frames:
+        buf = io.BytesIO()
+        Image.fromarray(f).save(buf, format='JPEG', quality=90)
+        jpegs.append(buf.getvalue())
+
+    srv = DetectionServer(det, max_batch=max_batch,
+                          max_delay_ms=max_delay_ms)
+    httpd = ThreadingHTTPServer(('127.0.0.1', 0), make_handler(srv))
+    port = httpd.server_address[1]
+    http_thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    http_thread.start()
+    tag = 'int8_' if int8 else ''
+    per_client = n_requests // n_clients
+    try:
+        srv.warmup()
+        srv.reset_stats()
+
+        def run_arm(request_fn):
+            lats = [[] for _ in range(n_clients)]
+
+            def client(i):
+                for k in range(per_client):
+                    t0 = time.perf_counter()
+                    request_fn(i, (i + k) % len(frames))
+                    lats[i].append(time.perf_counter() - t0)
+
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(n_clients)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            dt = time.perf_counter() - t0
+            flat = np.array([x for l in lats for x in l]) * 1000.0
+            return per_client * n_clients / dt, flat
+
+        # arm (a): full HTTP round-trip (persistent connection/client)
+        conns = [http.client.HTTPConnection('127.0.0.1', port, timeout=600)
+                 for _ in range(n_clients)]
+
+        def http_req(i, k):
+            conns[i].request('POST', '/detect', body=jpegs[k],
+                             headers={'Content-Type': 'image/jpeg'})
+            resp = conns[i].getresponse()
+            payload = json.loads(resp.read())
+            assert resp.status == 200 and 'detections' in payload, payload
+        rate_http, lat_http = run_arm(http_req)
+        for c in conns:
+            c.close()
+
+        # arm (b): in-process submit of the SAME (pre-decoded) frames
+        srv.reset_stats()
+
+        def inproc_req(i, k):
+            srv.detect(frames[k], timeout=600)
+        rate_inproc, lat_inproc = run_arm(inproc_req)
+
+        emit(f'serving_http_{tag}{n_clients}clients_throughput', rate_http,
+             'images/sec/chip', 400)
+        emit(f'serving_http_{tag}p50_latency',
+             float(np.percentile(lat_http, 50)), 'ms', None)
+        emit(f'serving_http_{tag}p95_latency',
+             float(np.percentile(lat_http, 95)), 'ms', None)
+        emit(f'serving_inproc_{tag}{n_clients}clients_throughput',
+             rate_inproc, 'images/sec/chip', 400)
+        emit(f'serving_inproc_{tag}p50_latency',
+             float(np.percentile(lat_inproc, 50)), 'ms', None)
+        emit('serving_http_overhead',
+             (rate_inproc - rate_http) / rate_http * 100.0,
+             'percent_throughput_cost_of_http', None)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        srv.close()
+
+
 def bench_int8_streaming(n_streams=8):
     """Config 12: the streaming pipeline (device letterbox from 1080p +
     forward + NMS) on the W8A8 deploy graph."""
@@ -852,6 +972,13 @@ def main():
         # capacity-planning curve from configs 6/16
         bench_train_step(batch=256)
         bench_train_step(batch=256, accum=2)
+    if '29' in wanted:
+        # same-session serving A/B + HTTP front-end overhead (round-4
+        # verdict task 3): bucketed vs fixed dispatch back-to-back in ONE
+        # session, then the cli/serve.py HTTP layer vs in-process submits
+        bench_serving()                    # bucketed
+        bench_serving(bucketed=False)      # fixed max_batch dispatch
+        bench_serving_http()
     if '28' in wanted:
         # the last variant: 'x' completes the n/s/m/l/x scaling table
         # (configs 9/18/20); the reference crashes on all of them

@@ -66,7 +66,10 @@ def train(args, family, train_ids):
 
     B = args.batch_size
     textb = jnp.broadcast_to(jnp.asarray(text)[None], (B, C, 512))
-    rs = np.random.RandomState(1)
+    # 1 + seed: seed 0 keeps the historical round-3/4 batch order; other
+    # seeds vary BOTH init and data order (the multi-seed protocol
+    # measures full train-to-train variance, round-4 verdict task 4)
+    rs = np.random.RandomState(1 + args.seed)
     order = rs.permutation(args.train_images)
     pos = 0
     t0 = time.time()
@@ -115,6 +118,15 @@ def main():
     ap.add_argument('--conf', type=float, default=0.25)
     ap.add_argument('--iou', type=float, default=0.45)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--seeds', default=None, metavar='S0,S1,...',
+                    help='run the FULL protocol (train + seen/zero-shot/'
+                         'control evals) once per seed and report mean and '
+                         'range -- the protocol has ~2x train-to-train '
+                         'variance (round-3 0.316 vs round-4 0.158, same '
+                         'code), so single-seed numbers cannot detect a '
+                         'real zero-shot regression (round-4 verdict '
+                         'task 4). Overrides --seed; --cache-state gets a '
+                         'per-seed suffix')
     ap.add_argument('--cache-state', default=None, metavar='PATH')
     ap.add_argument('--reparam', action='store_true',
                     help='ALSO run the seen + zero-shot evals through the '
@@ -125,10 +137,7 @@ def main():
                          'needs this number')
     args = ap.parse_args()
 
-    import jax
-
-    from yoloclip_tpu.data.synth import (make_open_vocab_detection_set,
-                                         make_open_vocab_family)
+    from yoloclip_tpu.data.synth import make_open_vocab_family
     from yoloclip_tpu.utils.general import enable_compile_cache
     enable_compile_cache()
 
@@ -140,6 +149,43 @@ def main():
     train_ids = np.array([i for i in all_ids if i not in set(held_ids)])
     print(f'train classes: {len(train_ids)}, held-out: {list(held_ids)}',
           flush=True)
+
+    if args.seeds:
+        import copy
+        seeds = [int(s) for s in args.seeds.split(',') if s.strip()]
+        per_seed = []
+        for sd in seeds:
+            a = copy.copy(args)
+            a.seed = sd
+            a.cache_state = (f'{args.cache_state}.s{sd}'
+                             if args.cache_state else None)
+            print(f'=== seed {sd} ===', flush=True)
+            r = run_once(a, family, train_ids, held_ids)
+            print(f'seed {sd}: {json.dumps(r)}', flush=True)
+            per_seed.append(r)
+        agg_keys = [k for k in per_seed[0]
+                    if isinstance(per_seed[0][k], float)]
+        result = {'metric': 'zero_shot_map50_mean',
+                  'value': round(float(np.mean(
+                      [r['value'] for r in per_seed])), 4),
+                  'n_seeds': len(seeds), 'seeds': seeds}
+        for k in agg_keys:
+            vals = [r[k] for r in per_seed]
+            result[f'{k}_mean'] = round(float(np.mean(vals)), 4)
+            result[f'{k}_min'] = round(float(np.min(vals)), 4)
+            result[f'{k}_max'] = round(float(np.max(vals)), 4)
+        result['per_seed'] = per_seed
+    else:
+        result = run_once(args, family, train_ids, held_ids)
+    print(json.dumps(result))
+
+
+def run_once(args, family, train_ids, held_ids):
+    """Train (or load) one seed's model and run the seen / zero-shot /
+    shuffled-control evals. Returns the per-seed result dict."""
+    import jax
+
+    from yoloclip_tpu.data.synth import make_open_vocab_detection_set
 
     if args.cache_state and os.path.exists(args.cache_state):
         import pickle
@@ -220,7 +266,7 @@ def main():
             'reparam_zero_shot_map50_95': round(rp_zs95, 4),
             'reparam_zero_shot_gap': round(abs(zs_m50 - rp_zs), 4),
         })
-    print(json.dumps(result))
+    return result
 
 
 if __name__ == '__main__':

@@ -297,6 +297,107 @@ def detection_agreement_stats(a_preds, b_preds, iou_min=0.95,
             float(np.median(shifts)) if shifts else 0.0)
 
 
+def _match_masks(pa, pb, iou_min=0.9):
+    """Per-image greedy 1:1 cross-stack match (same class, IoU >= iou_min;
+    scores free to drift -- the int8 protocol). Returns (matched_a,
+    matched_b) boolean masks over the UNPADDED detections of each side."""
+    from yoloclip_tpu.utils.metrics import bbox_iou_matrix
+    ma = pa['class_ids'][0] >= 0
+    mb = pb['class_ids'][0] >= 0
+    A, ca = pa['boxes'][0][ma], pa['class_ids'][0][ma]
+    Bx, cb = pb['boxes'][0][mb], pb['class_ids'][0][mb]
+    hit_a = np.zeros(len(A), bool)
+    hit_b = np.zeros(len(Bx), bool)
+    if len(A) and len(Bx):
+        iou = bbox_iou_matrix(np.asarray(A, np.float64),
+                              np.asarray(Bx, np.float64))
+        for i in range(len(A)):
+            j = int(np.argmax(iou[i] - hit_b * 10.0))
+            if not hit_b[j] and iou[i, j] >= iou_min and ca[i] == cb[j]:
+                hit_b[j] = True
+                hit_a[i] = True
+    return hit_a, hit_b
+
+
+SCORE_BANDS = ((0.25, 0.30), (0.30, 0.35), (0.35, 0.45), (0.45, 10.0))
+SCALE_BANDS = ((0.0, 0.15), (0.15, 0.25), (0.25, 0.40), (0.40, 10.0))
+
+
+def int8_disagreement_breakdown(a_preds, b_preds, targets, image_size,
+                                iou_min=0.9, num_classes=None):
+    """Localize WHERE float-vs-int8 detection disagreements concentrate
+    (round-4 verdict task 5: agreement drifts 0.939 'n' -> 0.899 'm'
+    while mAP holds; is the 1-in-10 disagreement benign?).
+
+    Buckets every detection from both stacks by raw-cosine score band and
+    by relative box scale (sqrt(area)/image_size), reports the per-band
+    disagreement rate, and measures the mAP CONTRIBUTION of the
+    disagreeing detections by re-scoring each stack with its unmatched
+    detections removed -- if matched-only mAP equals full mAP, the
+    disagreements carry no quality.
+    Returns (summary dict, printable table rows)."""
+    from yoloclip_tpu.utils.metrics import calculate_map
+
+    def banded(bands, values):
+        idx = np.full(len(values), -1)
+        for k, (lo, hi) in enumerate(bands):
+            idx[(values >= lo) & (values < hi)] = k
+        return idx
+
+    stats = {'score': np.zeros((len(SCORE_BANDS), 2)),   # [total, unmatched]
+             'scale': np.zeros((len(SCALE_BANDS), 2))}
+    matched_a, matched_b = [], []
+    for pa, pb in zip(a_preds, b_preds):
+        hit_a, hit_b = _match_masks(pa, pb, iou_min)
+        for p, hit, keep in ((pa, hit_a, matched_a), (pb, hit_b, matched_b)):
+            m = p['class_ids'][0] >= 0
+            boxes = np.asarray(p['boxes'][0][m], np.float64)
+            scores = np.asarray(p['scores'][0][m], np.float64)
+            wh = np.maximum(boxes[:, 2:4] - boxes[:, 0:2], 0.0)
+            rel = np.sqrt(wh[:, 0] * wh[:, 1]) / float(image_size)
+            for key, vals, bands in (('score', scores, SCORE_BANDS),
+                                     ('scale', rel, SCALE_BANDS)):
+                bi = banded(bands, vals)
+                for k in range(len(bands)):
+                    sel = bi == k
+                    stats[key][k, 0] += sel.sum()
+                    stats[key][k, 1] += (sel & ~hit).sum()
+            # matched-only view of this stack's predictions (padding
+            # convention kept: callers' preds are [1, D, ...] arrays)
+            keep.append({'boxes': p['boxes'][:, m][:, hit],
+                         'scores': p['scores'][:, m][:, hit],
+                         'class_ids': p['class_ids'][:, m][:, hit]})
+
+    kw = {'num_classes': num_classes} if num_classes else {}
+    a_map50, _ = calculate_map(a_preds, targets, **kw)
+    b_map50, _ = calculate_map(b_preds, targets, **kw)
+    a_m50, _ = calculate_map(matched_a, targets, **kw)
+    b_m50, _ = calculate_map(matched_b, targets, **kw)
+
+    rows = []
+    summary = {}
+    for key, bands, label in (('score', SCORE_BANDS, 'score'),
+                              ('scale', SCALE_BANDS, 'rel_size')):
+        for k, (lo, hi) in enumerate(bands):
+            tot, un = stats[key][k]
+            name = (f'{label} {lo:.2f}-{hi:.2f}' if hi < 10
+                    else f'{label} >={lo:.2f}')
+            rate = un / tot if tot else 0.0
+            rows.append(f'  {name:<22} total {int(tot):>5}  '
+                        f'unmatched {int(un):>4}  rate {rate:.3f}')
+            summary[f'disagree_{label}_{lo:.2f}'] = round(rate, 4)
+    summary.update({
+        'float_map50_full': round(a_map50, 4),
+        'float_map50_matched_only': round(a_m50, 4),
+        'int8_map50_full': round(b_map50, 4),
+        'int8_map50_matched_only': round(b_m50, 4),
+        # the quality carried by detections the stacks DISAGREE on:
+        'disagree_map50_contribution': round(
+            max(a_map50 - a_m50, b_map50 - b_m50), 4),
+    })
+    return summary, rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--train-images', type=int, default=256)
@@ -341,6 +442,11 @@ def main():
                          'input layout (calibration on the s2d canvas; '
                          'requires --int8) -- the quality check for the '
                          'probe-winning serve layout')
+    ap.add_argument('--int8-breakdown', action='store_true',
+                    help='with --int8: localize float-vs-int8 detection '
+                         'disagreements by score band and box scale, and '
+                         'report the mAP contribution of the disagreeing '
+                         'detections (round-4 verdict task 5)')
     ap.add_argument('--calibration', choices=['max', 'percentile'],
                     default='max',
                     help='int8 activation-scale scheme: max-abs or '
@@ -499,6 +605,14 @@ def main():
             'int8_detection_agreement': round(agree, 4),
             'int8_score_median_shift': round(score_mad, 4),
         })
+        if args.int8_breakdown:
+            summary, rows = int8_disagreement_breakdown(
+                ours, qp, targets, args.image_size, iou_min=0.9)
+            print('int8 disagreement breakdown (float vs int8, unmatched '
+                  'rate per band):', flush=True)
+            for r in rows:
+                print(r, flush=True)
+            result['int8_breakdown'] = summary
         if args.reparam:
             # the peak-headline configuration: int8 AND I-Pool dropped
             qrp = eval_int8(mcfg, state, train_set, val, text, args.conf,

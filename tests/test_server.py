@@ -339,6 +339,25 @@ def test_http_bad_requests(http_server):
         assert r.status == 200
 
 
+def test_build_server_stem_u8_s2d_flag():
+    """cli/serve.py --stem-u8-s2d must reach ModelConfig.stem_u8_s2d (the
+    bs>=256 deploy layout, RESULTS config 26); numeric equivalence of the
+    layout itself is pinned in test_detector.py."""
+    import argparse
+
+    from yoloclip_tpu.cli.serve import build_server
+    args = argparse.Namespace(
+        model=None, classes='cat,dog', vocab=None, variant='n',
+        image_size=160, conf=-10.0, iou=0.45, int8=False, calib_dir=None,
+        max_batch=4, max_delay_ms=5.0, no_bucket=False, devices=None,
+        spatial=1, stem_u8_s2d=True)
+    srv, det = build_server(args)
+    try:
+        assert det.model_cfg.stem_u8_s2d is True
+    finally:
+        srv.close()
+
+
 def test_decode_image_bytes_native_and_pil():
     from yoloclip_tpu.cli.serve import decode_image_bytes
     img = _img(7, 37, 53)

@@ -138,7 +138,8 @@ def build_server(args) -> 'object':
     cfg = InferenceConfig(
         model=ModelConfig(backbone_variant=args.variant,
                           image_size=(args.image_size, args.image_size),
-                          dtype='bfloat16'),
+                          dtype='bfloat16',
+                          stem_u8_s2d=getattr(args, 'stem_u8_s2d', False)),
         class_names=tuple(classes),
         conf_threshold=args.conf, iou_threshold=args.iou)
     detector = YOLOCLIPDetector(model_path=args.model, config=cfg,
@@ -204,6 +205,14 @@ def main(argv=None) -> int:
                     help='directory of images for int8 calibration')
     ap.add_argument('--max-batch', type=int, default=32)
     ap.add_argument('--max-delay-ms', type=float, default=5.0)
+    ap.add_argument('--stem-u8-s2d', action='store_true',
+                    help='serve the uint8 space-to-depth stem layout '
+                         '(letterbox_batch_u8_s2d input; /255 folded into '
+                         'the stem kernel). Measured guidance: WINS at '
+                         'bs>=256 int8 (+2.4%%, the reference-exact peak), '
+                         'LOSES at bs=32 (-4.5%%) -- use with '
+                         '--max-batch 256+ deployments only '
+                         '(benchmarks/RESULTS.md config 26)')
     ap.add_argument('--no-bucket', action='store_true',
                     help='always dispatch max_batch-shaped batches instead '
                          'of padding to the smallest power-of-two bucket '

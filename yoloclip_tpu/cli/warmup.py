@@ -44,6 +44,10 @@ def main(argv=None) -> None:
                          'resolution compiles happen under traffic')
     ap.add_argument('--int8', action='store_true',
                     help='warm the W8A8 deploy graph instead of bf16')
+    ap.add_argument('--stem-u8-s2d', action='store_true',
+                    help='warm the uint8 space-to-depth stem layout '
+                         '(the bs>=256 deploy winner; pair with the same '
+                         'flag on cli.serve)')
     ap.add_argument('--conf', type=float, default=0.25)
     ap.add_argument('--text-checkpoint', default=None)
     args = ap.parse_args(argv)
@@ -57,7 +61,8 @@ def main(argv=None) -> None:
 
     S = args.image_size
     hp = {'auto': 'auto', 'on': True, 'off': False}[args.host_preprocess]
-    cfg = InferenceConfig(model=ModelConfig(image_size=(S, S)),
+    cfg = InferenceConfig(model=ModelConfig(image_size=(S, S),
+                                            stem_u8_s2d=args.stem_u8_s2d),
                           conf_threshold=args.conf, host_preprocess=hp)
     class_names = [c.strip() for c in args.classes.split(',') if c.strip()]
     det = YOLOCLIPDetector(model_path=args.model, class_names=class_names,

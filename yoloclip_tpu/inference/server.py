@@ -159,10 +159,20 @@ class DetectionServer:
         max_det = det.config.max_detections
         fused = det._use_fused_similarity()
         agnostic = getattr(det.config, 'class_agnostic_nms', True)
+        u8_s2d = getattr(det.model_cfg, 'stem_u8_s2d', False)
 
         def run(variables, canvases_u8, text, scales, orig_whs,
                 conf_threshold, iou_threshold):
-            canv = canvases_u8.astype(jnp.float32) / 255.0
+            if u8_s2d:
+                # cfg.model.stem_u8_s2d: the model consumes the 0..255
+                # uint8 space-to-depth canvas directly (the stem folds the
+                # /255 into its kernel) -- same device-side rearrange as
+                # detector._build_detect_canvas_fn; the host letterbox and
+                # the (B, th, tw, 3) upload layout are unchanged
+                from yoloclip_tpu.ops.preprocess import _s2d
+                canv = _s2d(canvases_u8)
+            else:
+                canv = canvases_u8.astype(jnp.float32) / 255.0
             out = model.apply(variables, canv, text, fused_scores=fused)
             boxes = out['boxes'] / scales[:, None, None]
             hi = jnp.concatenate([orig_whs, orig_whs], axis=-1)  # (B, 4)

@@ -151,6 +151,9 @@ def _selftest_loss(num_processes: int = 1,
 
     import jax.numpy as jnp
 
+    from yoloclip_tpu.utils.general import enable_compile_cache
+    enable_compile_cache()   # reruns skip the ~3 min sharded-step compile
+
     from yoloclip_tpu.config import ModelConfig, TrainingConfig
     from yoloclip_tpu.models.yolo_clip import YOLOCLIP
     from yoloclip_tpu.parallel.mesh import create_mesh
@@ -183,7 +186,20 @@ def _selftest_loss(num_processes: int = 1,
             'class_ids': cids[lo:hi],
             'valid_mask': np.ones((hi - lo, M), bool)}, mesh)
         gtext = make_global_text(text[lo:hi], mesh, batched=True)
-        new_state, parts = step(state, batch, gtext)
+        # Compile EXPLICITLY, then line the processes up at a
+        # coordination-service barrier before the first execution: the
+        # cross-process gloo context initializes at first collective with
+        # a hard 30 s deadline, and per-process compile/trace skew on a
+        # contended host (or a one-sided persistent-cache hit) can exceed
+        # it -- observed as "Gloo context initialization failed:
+        # DEADLINE_EXCEEDED" exactly when the compile cache first warmed.
+        compiled = step.lower(state, batch, gtext).compile()
+        if jax.process_count() > 1:
+            from jax._src import distributed
+            client = distributed.global_state.client
+            if client is not None:
+                client.wait_at_barrier('selftest_post_compile', 600_000)
+        new_state, parts = compiled(state, batch, gtext)
         loss = float(parts['loss'])
 
         if ckpt_dir:
