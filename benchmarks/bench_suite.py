@@ -597,7 +597,7 @@ def bench_vocab_swap(batch=32, classes=80, n_vocabs=8, image_size=640):
 
 def bench_serving(n_clients=64, n_requests=512, max_batch=32,
                   max_delay_ms=5.0, image_size=640, int8=True,
-                  bucketed=True):
+                  bucketed=True, stem_u8_s2d=False):
     """Config 22: micro-batching serving runtime (inference/server.py).
 
     n_clients threads each submit single images of MIXED resolutions --
@@ -621,7 +621,7 @@ def bench_serving(n_clients=64, n_requests=512, max_batch=32,
 
     cfg = InferenceConfig(
         model=ModelConfig(image_size=(image_size, image_size),
-                          dtype='bfloat16'),
+                          dtype='bfloat16', stem_u8_s2d=stem_u8_s2d),
         conf_threshold=0.25, iou_threshold=0.45,
         nms_topk=1024, max_detections=300)
     det = YOLOCLIPDetector(config=cfg)   # COCO-80 offline vocabulary
@@ -659,6 +659,8 @@ def bench_serving(n_clients=64, n_requests=512, max_batch=32,
         s = srv.stats()
         tag = 'int8_' if int8 else ''
         btag = '' if bucketed else '_nobucket'
+        if stem_u8_s2d:
+            btag += '_u8s2d'
         emit(f'serving_{tag}{n_clients}clients{btag}_throughput',
              per_client * n_clients / dt, 'images/sec/chip', 400)
         emit(f'serving_{tag}{n_clients}clients{btag}_mean_occupancy',
@@ -984,6 +986,16 @@ def main():
         # (configs 9/18/20); the reference crashes on all of them
         bench_variant_s(variant='x')
         bench_int8(variant='x')
+    if '30' in wanted:
+        # u8-s2d stem THROUGH the serving runtime (round-4 verdict task
+        # 8: the measured bs>=256 win must be deployable, not just a
+        # detect_batch A/B). Same workload as config 22, bucketed, both
+        # stem layouts back-to-back -- on this 1-CPU container the server
+        # is host-bound (~32 img/s), so this line certifies the flag
+        # DEPLOYS through DetectionServer at parity; the device-side win
+        # itself is config 26's bs=256 A/B (2825 -> 2894 img/s)
+        bench_serving(stem_u8_s2d=True)
+        bench_serving()
 
 
 if __name__ == '__main__':

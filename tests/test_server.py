@@ -354,6 +354,13 @@ def test_build_server_stem_u8_s2d_flag():
     srv, det = build_server(args)
     try:
         assert det.model_cfg.stem_u8_s2d is True
+        # one request THROUGH the micro-batcher: the server's batched
+        # canvas program must consume the uint8 s2d canvas (the
+        # bench_suite config-30 serve path), not just carry the flag
+        frame = (np.random.RandomState(0).rand(120, 150, 3) * 255
+                 ).astype(np.uint8)
+        dets = srv.detect(frame, timeout=600)
+        assert isinstance(dets, list)
     finally:
         srv.close()
 
