@@ -368,6 +368,16 @@ def int8_disagreement_breakdown(a_preds, b_preds, targets, image_size,
                          'scores': p['scores'][:, m][:, hit],
                          'class_ids': p['class_ids'][:, m][:, hit]})
 
+    # agreement as a function of the 1:1-match IoU floor: if agreement
+    # climbs steeply as the floor relaxes, the "disagreements" are box
+    # jitter around the strict 0.9 threshold (both stacks detect the
+    # same object, boxes differ by a few px) rather than spurious or
+    # missed detections
+    iou_curve = {}
+    for t in (0.5, 0.75, 0.9, 0.95):
+        frac, _ = detection_agreement_stats(a_preds, b_preds, iou_min=t)
+        iou_curve[f'agreement_iou{t:.2f}'] = round(frac, 4)
+
     kw = {'num_classes': num_classes} if num_classes else {}
     a_map50, _ = calculate_map(a_preds, targets, **kw)
     b_map50, _ = calculate_map(b_preds, targets, **kw)
@@ -386,6 +396,9 @@ def int8_disagreement_breakdown(a_preds, b_preds, targets, image_size,
             rows.append(f'  {name:<22} total {int(tot):>5}  '
                         f'unmatched {int(un):>4}  rate {rate:.3f}')
             summary[f'disagree_{label}_{lo:.2f}'] = round(rate, 4)
+    for k, v in iou_curve.items():
+        rows.append(f'  {k:<22} {v:.4f}')
+    summary.update(iou_curve)
     summary.update({
         'float_map50_full': round(a_map50, 4),
         'float_map50_matched_only': round(a_m50, 4),
