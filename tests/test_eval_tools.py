@@ -66,7 +66,13 @@ def test_breakdown_localizes_low_score_disagreements():
     # carries real mAP, and the full-vs-matched delta measures it
     assert summary['float_map50_full'] > summary['float_map50_matched_only']
     assert summary['disagree_map50_contribution'] > 0
-    assert len(rows) == 8   # 4 score bands + 4 scale bands
+    assert len(rows) == 12  # 4 score bands + 4 scale bands + 4 IoU-curve
+    # agreement-vs-match-IoU curve: monotone non-increasing in the floor
+    curve = [summary[f'agreement_iou{t:.2f}'] for t in (0.5, 0.75, 0.9, 0.95)]
+    assert all(a >= b for a, b in zip(curve, curve[1:]))
+    # identical boxes match at every floor: the one shared detection is
+    # found, the dropped one is not -- agreement 0.5 across the curve
+    assert curve[0] == 0.5 and curve[-1] == 0.5
 
 
 def test_breakdown_clean_when_stacks_agree():
